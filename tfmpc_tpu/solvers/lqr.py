@@ -1,0 +1,158 @@
+"""Finite-horizon discrete-time LQR solver, TPU-native.
+
+Capability parity with reference ``tfmpc/solvers/lqr.py`` (``LQR(F,f,C,c)``
+with ``backward``/``forward``/``solve``; see SURVEY.md §3.2 — the reference
+mount was empty, citations are to the upstream layout documented there).
+
+Design notes (TPU-first, not a port):
+- The backward Riccati recursion is a single ``lax.scan`` (reversed) over
+  time; the reference used a Python/TF ``tf.TensorArray`` loop.
+- All linear algebra is batched-friendly: every function works with arbitrary
+  leading batch dimensions via ``jax.vmap`` at the call site, and the solver
+  itself is jit-compiled once for a given (T, n, m).
+- ``jax.scipy.linalg.cho_factor``/``cho_solve`` on the tiny ``Quu`` blocks;
+  XLA lowers these efficiently for small static shapes.
+- A parallel (associative-scan) variant with O(log T) depth lives in
+  ``lqr_parallel.py`` for long horizons.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tfmpc_tpu.core.types import LQRProblem, Policy, ValueFunction
+
+
+def _final_cost_terms(problem: LQRProblem):
+    n = problem.state_size
+    dtype = problem.F.dtype
+    C_f = problem.C_f if problem.C_f is not None else jnp.zeros((n, n), dtype)
+    c_f = problem.c_f if problem.c_f is not None else jnp.zeros((n,), dtype)
+    return C_f, c_f
+
+
+def backward(problem: LQRProblem) -> Tuple[Policy, ValueFunction]:
+    """Riccati backward recursion.
+
+    Returns the time-indexed affine policy ``u_t = K_t x_t + k_t`` and the
+    quadratic value function ``V_t`` for t = 0..T (V_T is the final cost).
+    Reference: ``tfmpc/solvers/lqr.py::LQR.backward`` (SURVEY §3.2).
+
+    All matmuls run at HIGHEST precision: on TPU the default fp32 matmul uses
+    bfloat16 passes, which loses ~3 decimal digits per step and compounds
+    through the T-step recursion (measured 2.5e-2 control deviation at T=100
+    vs 2e-6 with full fp32 — the <1e-4 parity target requires this).
+    """
+    with jax.default_matmul_precision("highest"):
+        return _backward_impl(problem)
+
+
+def _backward_impl(problem: LQRProblem) -> Tuple[Policy, ValueFunction]:
+    n = problem.state_size
+
+    C_f, c_f = _final_cost_terms(problem)
+    V_T = (C_f, c_f, jnp.zeros((), problem.F.dtype))
+
+    def step(carry, inputs):
+        V_xx, v_x, v_0 = carry
+        F_t, f_t, C_t, c_t = inputs
+
+        # Q = C + F^T V' F over the stacked z = [x; u] coordinate.
+        FV = F_t.T @ V_xx                      # [n+m, n]
+        Q = C_t + FV @ F_t                     # [n+m, n+m]
+        q = c_t + F_t.T @ (V_xx @ f_t + v_x)   # [n+m]
+        q0 = v_0 + v_x @ f_t + 0.5 * f_t @ (V_xx @ f_t)
+
+        Q_xx = Q[:n, :n]
+        Q_ux = Q[n:, :n]
+        Q_uu = Q[n:, n:]
+        q_x = q[:n]
+        q_u = q[n:]
+
+        chol = jax.scipy.linalg.cho_factor(Q_uu)
+        K = -jax.scipy.linalg.cho_solve(chol, Q_ux)   # [m, n]
+        k = -jax.scipy.linalg.cho_solve(chol, q_u)    # [m]
+
+        V_next_xx = Q_xx + Q_ux.T @ K
+        V_next_xx = 0.5 * (V_next_xx + V_next_xx.T)
+        v_next_x = q_x + K.T @ q_u
+        v_next_0 = q0 + 0.5 * q_u @ k
+
+        new_carry = (V_next_xx, v_next_x, v_next_0)
+        return new_carry, (K, k, V_next_xx, v_next_x, v_next_0)
+
+    (_, _, _), (K, k, V_xx, v_x, v_0) = jax.lax.scan(
+        step, V_T, (problem.F, problem.f, problem.C, problem.c), reverse=True
+    )
+
+    V_xx_all = jnp.concatenate([V_xx, V_T[0][None]], axis=0)
+    v_x_all = jnp.concatenate([v_x, V_T[1][None]], axis=0)
+    v_0_all = jnp.concatenate([v_0, V_T[2][None]], axis=0)
+
+    return Policy(K=K, k=k), ValueFunction(V_xx=V_xx_all, v_x=v_x_all, v_0=v_0_all)
+
+
+def forward(
+    problem: LQRProblem, x0: jax.Array, policy: Policy
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Roll the affine policy forward from ``x0``.
+
+    Returns ``(states [T+1, n], actions [T, m], costs [T+1])`` where
+    ``costs[T]`` is the final cost. Reference:
+    ``tfmpc/solvers/lqr.py::LQR.forward``.
+    """
+    with jax.default_matmul_precision("highest"):
+        return _forward_impl(problem, x0, policy)
+
+
+def _forward_impl(problem, x0, policy):
+    n = problem.state_size
+
+    def step(x, inputs):
+        F_t, f_t, C_t, c_t, K_t, k_t = inputs
+        u = K_t @ x + k_t
+        z = jnp.concatenate([x, u])
+        cost = 0.5 * z @ (C_t @ z) + z @ c_t
+        x_next = F_t @ z + f_t
+        return x_next, (x_next, u, cost)
+
+    x_T, (states, actions, costs) = jax.lax.scan(
+        step,
+        x0,
+        (problem.F, problem.f, problem.C, problem.c, policy.K, policy.k),
+    )
+
+    C_f, c_f = _final_cost_terms(problem)
+    final_cost = 0.5 * x_T @ (C_f @ x_T) + x_T @ c_f
+
+    states = jnp.concatenate([x0[None], states], axis=0)
+    costs = jnp.concatenate([costs, final_cost[None]], axis=0)
+    return states, actions, costs
+
+
+@functools.partial(jax.jit, static_argnames=("parallel",))
+def solve(
+    problem: LQRProblem, x0: jax.Array, *, parallel: bool = False
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Exact LQR solve: one backward + one forward pass.
+
+    ``x0`` may have a leading batch dimension ``[B, n]``; the (state-
+    independent) policy is computed once and the rollout is vmapped.
+    Reference: ``tfmpc/solvers/lqr.py::LQR.solve`` (SURVEY §3.2).
+
+    With ``parallel=True`` the backward pass uses the O(log T)-depth
+    associative-scan Riccati from ``lqr_parallel.py``.
+    """
+    if parallel:
+        from tfmpc_tpu.solvers.lqr_parallel import backward_parallel
+
+        policy, _ = backward_parallel(problem)
+    else:
+        policy, _ = backward(problem)
+    if x0.ndim == 2:
+        return jax.vmap(lambda x: forward(problem, x, policy))(x0)
+    return forward(problem, x0, policy)
