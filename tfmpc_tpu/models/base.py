@@ -1,0 +1,132 @@
+"""Differentiable-environment base: pure dynamics/cost + autodiff linearization.
+
+Capability parity with reference ``tfmpc/envs/diffenv.py`` (``DiffEnv`` with
+``transition``/``cost``/``final_cost`` and the autodiff linearization API
+``get_linear_transition`` / ``get_quadratic_cost`` / ``get_quadratic_final_cost``;
+SURVEY §2.1, §3.4 — reference mount was empty, citations are to the upstream
+layout documented there).
+
+TPU-first design (not a port):
+- Envs are frozen-dataclass pytrees: parameters are leaves, so an env instance
+  crosses ``jit``/``vmap``/``pjit`` boundaries as data. No ``tf.Module`` state.
+- Linearization is **forward-mode** (``jax.jacfwd``): state/action dims are
+  tiny (2..32), so forward-mode Jacobians/Hessians are optimal — the reference
+  used ``tf.GradientTape.batch_jacobian`` (reverse-mode) because TF offers no
+  ergonomic forward-mode. Hessians are ``jacfwd(grad)``.
+- Time-batching is ``jax.vmap`` over the horizon; scenario-batching is another
+  ``vmap`` at the solver level. One compiled program, no Python loops.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tfmpc_tpu.core.types import (
+    Bounds,
+    LinearModel,
+    QuadraticFinal,
+    QuadraticModel,
+    pytree_dataclass,
+)
+
+
+class Env:
+    """Base class for differentiable environments.
+
+    Subclasses are pytree dataclasses implementing the three pure functions::
+
+        transition(x, u) -> x'   # [n], [m] -> [n]
+        cost(x, u) -> scalar
+        final_cost(x) -> scalar
+
+    and optionally a ``bounds`` field (``Bounds`` or None) for box-constrained
+    controls. All linearization methods below are derived automatically, in
+    exact parity with the reference ``DiffEnv`` surface.
+    """
+
+    bounds: Optional[Bounds] = None
+
+    # -- abstract ----------------------------------------------------------
+    def transition(self, x: jax.Array, u: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    def cost(self, x: jax.Array, u: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    def final_cost(self, x: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    # -- derived properties ------------------------------------------------
+    @property
+    def action_size(self) -> int:
+        return self.state_size  # overridden where they differ
+
+    # -- autodiff linearization (reference DiffEnv API) --------------------
+    def get_linear_transition(
+        self, x: jax.Array, u: jax.Array, batch: bool = False
+    ) -> LinearModel:
+        """First-order model of the dynamics at ``(x, u)``.
+
+        ``batch=True`` maps over a leading time/scenario axis — the analogue of
+        the reference's ``batch_jacobian`` path (SURVEY §3.4).
+        """
+        if batch:
+            return jax.vmap(lambda a, b: self.get_linear_transition(a, b))(x, u)
+        f = self.transition(x, u)
+        f_x, f_u = jax.jacfwd(self.transition, argnums=(0, 1))(x, u)
+        return LinearModel(f=f, f_x=f_x, f_u=f_u)
+
+    def get_quadratic_cost(
+        self, x: jax.Array, u: jax.Array, batch: bool = False
+    ) -> QuadraticModel:
+        """Second-order model of the stage cost at ``(x, u)``."""
+        if batch:
+            return jax.vmap(lambda a, b: self.get_quadratic_cost(a, b))(x, u)
+        l = self.cost(x, u)
+        grad_x = jax.grad(self.cost, argnums=0)
+        grad_u = jax.grad(self.cost, argnums=1)
+        l_x = grad_x(x, u)
+        l_u = grad_u(x, u)
+        l_xx = jax.jacfwd(grad_x, argnums=0)(x, u)
+        l_uu = jax.jacfwd(grad_u, argnums=1)(x, u)
+        l_ux = jax.jacfwd(grad_u, argnums=0)(x, u)
+        return QuadraticModel(l=l, l_x=l_x, l_u=l_u, l_xx=l_xx, l_uu=l_uu, l_ux=l_ux)
+
+    def get_quadratic_final_cost(self, x: jax.Array) -> QuadraticFinal:
+        """Second-order model of the final cost at ``x``."""
+        l = self.final_cost(x)
+        l_x = jax.grad(self.final_cost)(x)
+        l_xx = jax.jacfwd(jax.grad(self.final_cost))(x)
+        return QuadraticFinal(l=l, l_x=l_x, l_xx=l_xx)
+
+    # -- rollout -----------------------------------------------------------
+    def rollout(
+        self, x0: jax.Array, U: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Roll an open-loop control sequence; returns (states [T+1,n], costs [T+1]).
+
+        The analogue of the reference iLQR's ``start`` nominal rollout
+        (SURVEY §3.1), as a single ``lax.scan``.
+        """
+
+        def step(x, u):
+            c = self.cost(x, u)
+            x_next = self.transition(x, u)
+            return x_next, (x_next, c)
+
+        x_T, (X, costs) = jax.lax.scan(step, x0, U)
+        states = jnp.concatenate([x0[None], X], axis=0)
+        costs = jnp.concatenate([costs, self.final_cost(x_T)[None]], axis=0)
+        return states, costs
+
+    def total_cost(self, x0: jax.Array, U: jax.Array) -> jax.Array:
+        _, costs = self.rollout(x0, U)
+        return jnp.sum(costs)
+
+    def clip(self, u: jax.Array) -> jax.Array:
+        if self.bounds is None:
+            return u
+        return self.bounds.clip(u)

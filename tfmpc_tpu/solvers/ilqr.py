@@ -1,0 +1,379 @@
+"""Iterative LQR (iLQR) solver, TPU-native.
+
+Capability parity with reference ``tfmpc/solvers/ilqr.py`` (SURVEY §2.1/§3.1:
+``start`` nominal rollout, ``derivatives`` batched linearization, regularized
+``backward`` with Levenberg-style mu adaptation (Tassa et al. 2012 schedule),
+``forward`` with backtracking line search and box-constraint clipping,
+``solve`` outer loop until residual < atol). The reference mount was empty;
+the algorithm was validated independently (SURVEY Appendix A.2).
+
+TPU-first architecture (not a port — reference used Python loops over
+``tf.TensorArray`` and host-side control flow):
+
+- The whole solve is ONE compiled XLA program: outer ``lax.while_loop``,
+  backward pass as a reverse ``lax.scan``, the regularization restart as an
+  inner ``lax.while_loop``, and the line search evaluated for ALL step sizes
+  in parallel (``vmap`` over the alpha grid) with the first accepted alpha
+  selected by ``argmax`` over the acceptance mask. Zero host round-trips
+  until the result is fetched.
+- Scenario batching is an outer ``jax.vmap`` over the entire solve
+  (``solve_batch``): every scenario carries its own mu, accepted alpha and
+  convergence flag; ``vmap`` of ``while_loop`` gives masked-lane semantics
+  automatically (converged lanes coast, cost of wasted FLOPs << ragged
+  control flow — SURVEY §7.1 design decision 1).
+- Non-PD detection is a Cholesky NaN-probe (``jnp.linalg.cholesky`` yields
+  NaNs for indefinite inputs) instead of try/except — data-dependent Python
+  branching cannot exist under ``jit``.
+- All matmuls run at HIGHEST precision: TPU fp32 matmul defaults to bf16
+  passes, which breaks the <1e-4 trajectory-parity target (measured on the
+  LQR path; see solvers/lqr.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tfmpc_tpu.core.types import Policy, pytree_dataclass
+from tfmpc_tpu.models.base import Env
+
+
+@dataclasses.dataclass(frozen=True)
+class ILQRConfig:
+    """Static solver configuration (hashable; a jit-static argument).
+
+    Mirrors the reference CLI knobs (``--atol``, ``--max-iterations``;
+    SURVEY §2.1 CLI row) plus the Tassa-schedule regularization constants.
+    """
+
+    atol: float = 1e-4
+    max_iterations: int = 100
+    mu_init: float = 0.0
+    mu_min: float = 1e-6
+    mu_max: float = 1e10
+    delta_0: float = 2.0
+    num_alphas: int = 11
+    accept_ratio: float = 0.0  # z-test threshold on actual/expected reduction
+    max_backward_restarts: int = 40
+
+    def alphas(self, dtype=jnp.float32) -> jax.Array:
+        """Tassa's line-search schedule: alpha_i = 1.1^(-i^2)."""
+        i = jnp.arange(self.num_alphas, dtype=dtype)
+        return 1.1 ** (-(i**2))
+
+
+class ILQRResult(NamedTuple):
+    """Solve output (all per-scenario when batched)."""
+
+    states: jax.Array       # [T+1, n]
+    actions: jax.Array      # [T, m]
+    costs: jax.Array        # [T+1] per-step costs of the final trajectory
+    total_cost: jax.Array   # scalar
+    iterations: jax.Array   # outer iterations executed
+    converged: jax.Array    # bool: residual < atol reached
+    residual: jax.Array     # last |cost decrease|
+    mu: jax.Array           # final regularization
+
+
+class _LoopState(NamedTuple):
+    X: jax.Array
+    U: jax.Array
+    J: jax.Array
+    mu: jax.Array
+    delta: jax.Array
+    iteration: jax.Array
+    converged: jax.Array
+    failed: jax.Array       # regularization exhausted / no progress possible
+    residual: jax.Array
+
+
+def _increase_mu(mu, delta, config: ILQRConfig):
+    """Tassa et al. 2012 regularization increase (SURVEY §2.1 iLQR row)."""
+    delta = jnp.maximum(config.delta_0, delta * config.delta_0)
+    mu = jnp.maximum(config.mu_min, mu * delta)
+    return mu, delta
+
+
+def _decrease_mu(mu, delta, config: ILQRConfig):
+    delta = jnp.minimum(1.0 / config.delta_0, delta / config.delta_0)
+    mu_scaled = mu * delta
+    mu = jnp.where(mu_scaled >= config.mu_min, mu_scaled, 0.0)
+    return mu, delta
+
+
+def derivatives(env: Env, X: jax.Array, U: jax.Array):
+    """Linearize dynamics and quadratize costs along the whole horizon.
+
+    The analogue of reference ``iLQR.derivatives`` (SURVEY §3.1) — one
+    ``vmap(jacfwd)`` sweep over all T steps at once.
+    """
+    lin = env.get_linear_transition(X[:-1], U, batch=True)
+    quad = env.get_quadratic_cost(X[:-1], U, batch=True)
+    final = env.get_quadratic_final_cost(X[-1])
+    return lin, quad, final
+
+
+def backward(lin, quad, final, mu, config: ILQRConfig):
+    """Regularized Riccati backward pass over the linearized models.
+
+    Returns ``(ok, policy, dV1, dV2)``. ``ok`` is False when any step's
+    regularized ``Quu`` failed the Cholesky PD probe (reference restarts the
+    whole backward pass in that case; here the caller's inner while_loop does).
+    Regularization is Tassa-style on ``V_xx`` (mu enters via
+    ``f_u^T (V' + mu I) f_u``), expected improvement accumulated with the
+    UNregularized ``Q_u``/``Q_uu``.
+    """
+    n = lin.f_x.shape[-1]
+
+    def step(carry, inputs):
+        V_xx, v_x, dV1, dV2, any_fail = carry
+        f_x, f_u, l_x, l_u, l_xx, l_uu, l_ux = inputs
+
+        V_reg = V_xx + mu * jnp.eye(n, dtype=V_xx.dtype)
+
+        fuT_V = f_u.T @ V_xx
+        fuT_Vreg = f_u.T @ V_reg
+
+        Q_x = l_x + f_x.T @ v_x
+        Q_u = l_u + f_u.T @ v_x
+        Q_xx = l_xx + f_x.T @ (V_xx @ f_x)
+        Q_uu = l_uu + fuT_V @ f_u
+        Q_ux = l_ux + fuT_V @ f_x
+        Quu_reg = l_uu + fuT_Vreg @ f_u
+        Qux_reg = l_ux + fuT_Vreg @ f_x
+
+        chol = jnp.linalg.cholesky(Quu_reg)
+        fail = ~jnp.all(jnp.isfinite(chol))
+
+        K = -jax.scipy.linalg.cho_solve((chol, True), Qux_reg)
+        k = -jax.scipy.linalg.cho_solve((chol, True), Q_u)
+
+        dV1 = dV1 + k @ Q_u
+        dV2 = dV2 + 0.5 * k @ (Q_uu @ k)
+
+        V_next = Q_xx + K.T @ (Q_uu @ K) + K.T @ Q_ux + Q_ux.T @ K
+        V_next = 0.5 * (V_next + V_next.T)
+        v_next = Q_x + K.T @ (Q_uu @ k) + K.T @ Q_u + Q_ux.T @ k
+
+        return (V_next, v_next, dV1, dV2, any_fail | fail), (K, k)
+
+    zero = jnp.zeros((), lin.f_x.dtype)
+    init = (final.l_xx, final.l_x, zero, zero, jnp.array(False))
+    inputs = (lin.f_x, lin.f_u, quad.l_x, quad.l_u, quad.l_xx, quad.l_uu, quad.l_ux)
+    (_, _, dV1, dV2, any_fail), (K, k) = jax.lax.scan(
+        step, init, inputs, reverse=True
+    )
+    return ~any_fail, Policy(K=K, k=k), dV1, dV2
+
+
+def backward_with_restarts(lin, quad, final, mu, delta, config: ILQRConfig):
+    """Backward pass wrapped in the reference's restart-on-non-PD loop.
+
+    Reference behavior (SURVEY §3.1 hot loop #1): on a failed PD check,
+    increase mu and restart the entire backward pass. Here that is an inner
+    ``lax.while_loop`` — still fully on device.
+    """
+
+    def attempt(mu):
+        return backward(lin, quad, final, mu, config)
+
+    ok0, policy0, dV10, dV20 = attempt(mu)
+
+    def cond(carry):
+        ok, _, _, _, mu, _, tries = carry
+        return (~ok) & (mu < config.mu_max) & (tries < config.max_backward_restarts)
+
+    def body(carry):
+        ok, policy, dV1, dV2, mu, delta, tries = carry
+        mu, delta = _increase_mu(mu, delta, config)
+        ok, policy, dV1, dV2 = attempt(mu)
+        return (ok, policy, dV1, dV2, mu, delta, tries + 1)
+
+    ok, policy, dV1, dV2, mu, delta, _ = jax.lax.while_loop(
+        cond, body, (ok0, policy0, dV10, dV20, mu, delta, jnp.zeros((), jnp.int32))
+    )
+    return ok, policy, dV1, dV2, mu, delta
+
+
+def forward(env: Env, X, U, policy: Policy, alpha):
+    """Closed-loop rollout with step size ``alpha`` and box clipping.
+
+    Reference ``iLQR.forward`` control law (SURVEY §3.1 hot loop #2):
+    ``u = clip(ubar + alpha*k + K (x - xbar), low, high)``.
+    Returns (X_new, U_new, J_new) with J forced to +inf on numerical blowup
+    so a diverging rollout is always rejected by the line search.
+    """
+
+    def step(x, inputs):
+        x_bar, u_bar, K_t, k_t = inputs
+        u = u_bar + alpha * k_t + K_t @ (x - x_bar)
+        u = env.clip(u)
+        c = env.cost(x, u)
+        x_next = env.transition(x, u)
+        return x_next, (x_next, u, c)
+
+    x_T, (X_tail, U_new, costs) = jax.lax.scan(
+        step, X[0], (X[:-1], U, policy.K, policy.k)
+    )
+    X_new = jnp.concatenate([X[0][None], X_tail], axis=0)
+    J_new = jnp.sum(costs) + env.final_cost(x_T)
+    J_new = jnp.where(jnp.isfinite(J_new), J_new, jnp.inf)
+    return X_new, U_new, J_new
+
+
+def _iteration(env: Env, state: _LoopState, config: ILQRConfig, alphas):
+    """One outer iLQR iteration: derivatives -> backward -> line search."""
+    lin, quad, final = derivatives(env, state.X, state.U)
+    ok, policy, dV1, dV2, mu, delta = backward_with_restarts(
+        lin, quad, final, state.mu, state.delta, config
+    )
+
+    # Parallel line search over the whole alpha grid (SURVEY §7.1 decision 4).
+    X_all, U_all, J_all = jax.vmap(
+        lambda a: forward(env, state.X, state.U, policy, a)
+    )(alphas)
+
+    expected = -(alphas * dV1 + alphas**2 * dV2)
+    z = (state.J - J_all) / jnp.where(expected > 0, expected, 1.0)
+    accepted = jnp.where(
+        expected > 0.0, z > config.accept_ratio, J_all < state.J
+    )
+    accepted = accepted & ok  # a failed backward pass accepts nothing
+
+    # Termination criterion #2 (Tassa 2012): the backward pass itself predicts
+    # a full-step improvement below atol -> we are at a local optimum. Without
+    # this, an optimal trajectory rejects every alpha and mu ratchets to the
+    # ceiling instead of reporting convergence.
+    at_optimum = ok & (-(dV1 + dV2) < config.atol)
+
+    any_accepted = jnp.any(accepted)
+    best = jnp.argmax(accepted)  # first True: largest accepted alpha
+
+    X_new = jnp.where(any_accepted, X_all[best], state.X)
+    U_new = jnp.where(any_accepted, U_all[best], state.U)
+    J_new = jnp.where(any_accepted, J_all[best], state.J)
+
+    residual = jnp.where(
+        any_accepted, state.J - J_new, jnp.where(at_optimum, 0.0, jnp.inf)
+    )
+
+    mu_dec, delta_dec = _decrease_mu(mu, delta, config)
+    mu_inc, delta_inc = _increase_mu(mu, delta, config)
+    mu_next = jnp.where(any_accepted | at_optimum, mu_dec, mu_inc)
+    delta_next = jnp.where(any_accepted | at_optimum, delta_dec, delta_inc)
+
+    converged = at_optimum | (any_accepted & (jnp.abs(residual) < config.atol))
+    # No accepted step and regularization already at the ceiling: stuck.
+    failed = (~any_accepted) & ~at_optimum & (mu_next >= config.mu_max)
+
+    return _LoopState(
+        X=X_new,
+        U=U_new,
+        J=J_new,
+        mu=mu_next,
+        delta=delta_next,
+        iteration=state.iteration + 1,
+        converged=converged,
+        failed=state.failed | failed,
+        residual=residual,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config", "horizon"))
+def solve(
+    env: Env,
+    x0: jax.Array,
+    U0: Optional[jax.Array] = None,
+    *,
+    horizon: Optional[int] = None,
+    config: ILQRConfig = ILQRConfig(),
+) -> ILQRResult:
+    """Solve one trajectory-optimization instance with iLQR.
+
+    Reference ``iLQR.solve`` (SURVEY §3.1): nominal rollout, then iterate
+    derivatives -> backward -> forward-line-search until the cost decrease
+    drops below ``atol`` or ``max_iterations`` is reached. Everything runs in
+    one compiled program under ``lax.while_loop``.
+
+    ``U0`` defaults to zeros (clipped into bounds); pass ``horizon`` instead
+    of ``U0`` to use that default.
+    """
+    with jax.default_matmul_precision("highest"):
+        return _solve_impl(env, x0, U0, horizon, config)
+
+
+def _solve_impl(env, x0, U0, horizon, config):
+    if U0 is None:
+        if horizon is None:
+            raise ValueError("provide either U0 or horizon")
+        U0 = jnp.zeros((horizon, env.action_size), x0.dtype)
+    U0 = env.clip(U0)
+
+    X0, costs0 = env.rollout(x0, U0)
+    J0 = jnp.sum(costs0)
+    alphas = config.alphas(x0.dtype)
+
+    init = _LoopState(
+        X=X0,
+        U=U0,
+        J=J0,
+        mu=jnp.asarray(config.mu_init, x0.dtype),
+        delta=jnp.asarray(1.0, x0.dtype),
+        iteration=jnp.zeros((), jnp.int32),
+        converged=jnp.array(False),
+        failed=jnp.array(False),
+        residual=jnp.asarray(jnp.inf, x0.dtype),
+    )
+
+    def cond(state: _LoopState):
+        return (
+            (state.iteration < config.max_iterations)
+            & ~state.converged
+            & ~state.failed
+        )
+
+    final_state = jax.lax.while_loop(
+        cond, lambda s: _iteration(env, s, config, alphas), init
+    )
+
+    states, costs = env.rollout(x0, final_state.U)
+    return ILQRResult(
+        states=final_state.X,
+        actions=final_state.U,
+        costs=costs,
+        total_cost=final_state.J,
+        iterations=final_state.iteration,
+        converged=final_state.converged,
+        residual=final_state.residual,
+        mu=final_state.mu,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config", "horizon"))
+def solve_batch(
+    env: Env,
+    x0: jax.Array,
+    U0: Optional[jax.Array] = None,
+    *,
+    horizon: Optional[int] = None,
+    config: ILQRConfig = ILQRConfig(),
+) -> ILQRResult:
+    """Batched iLQR: vmap of the full solve over a leading scenario axis.
+
+    ``x0``: [B, n]; optional ``U0``: [B, T, m]. Every scenario carries its own
+    regularization/line-search state; the fused ``while_loop`` iterates until
+    all scenarios converge (SURVEY §7.1 decision 1). This is the throughput
+    path behind the >=1000 solves/s north star (BASELINE.md).
+    """
+    with jax.default_matmul_precision("highest"):
+        if U0 is None:
+            return jax.vmap(
+                lambda x: _solve_impl(env, x, None, horizon, config)
+            )(x0)
+        return jax.vmap(
+            lambda x, u: _solve_impl(env, x, u, horizon, config)
+        )(x0, U0)
