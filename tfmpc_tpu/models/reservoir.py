@@ -1,0 +1,146 @@
+"""Water-reservoir network environment (RDDL Reservoir lineage).
+
+Capability parity with reference ``tfmpc/envs/reservoir.py`` (SURVEY §2.1 —
+the reference mount was empty; behavior documented there: state = water
+levels, action = release outflows box-constrained to [0, max_release],
+dynamics add rain, subtract a nonlinear ``level*sin(level/max_cap)``-shaped
+evaporation, route released water downstream via a topology matrix; cost
+penalizes levels outside [lower_bound, upper_bound] asymmetrically plus a
+setpoint-deviation term).
+
+Dynamics::
+
+    evap_i  = evap_factor * sin(l_i / cap_i) * l_i
+    l'_i    = l_i + rain_i - evap_i - u_i + sum_j D_ji u_j
+
+``D[j, i] = 1`` when reservoir j releases into reservoir i (downstream
+topology matrix; rows with all zeros drain out of the system).
+
+Cost (smooth asymmetric hinges; C^1 so the iLQR quadratization is defined
+everywhere — the reference's linear hinges have subgradient kinks)::
+
+    sum_i [ low_penalty  * relu(lb_i - l_i)^2
+          + high_penalty * relu(l_i - ub_i)^2
+          + setpoint_weight * (l_i - (lb_i + ub_i)/2)^2 ]
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tfmpc_tpu.core.types import Bounds, pytree_dataclass
+from tfmpc_tpu.models.base import Env
+
+
+@pytree_dataclass
+class Reservoir(Env):
+    """Chain/DAG of water reservoirs.
+
+    Fields (R = number of reservoirs):
+      downstream:      [R, R] routing matrix D (D[j, i]=1: j releases into i)
+      max_capacity:    [R]
+      rain:            [R]   per-step rainfall inflow
+      evap_factor:     scalar
+      lower_bound:     [R]   nominal operating range
+      upper_bound:     [R]
+      low_penalty:     scalar (cost of being below lower_bound)
+      high_penalty:    scalar (cost of being above upper_bound; flood >> drought
+                       asymmetry comes from the config values)
+      setpoint_weight: scalar
+      bounds:          Bounds [0, max_release] on the release action
+    """
+
+    downstream: jax.Array
+    max_capacity: jax.Array
+    rain: jax.Array
+    evap_factor: jax.Array
+    lower_bound: jax.Array
+    upper_bound: jax.Array
+    low_penalty: jax.Array
+    high_penalty: jax.Array
+    setpoint_weight: jax.Array
+    bounds: Optional[Bounds] = None
+
+    @property
+    def state_size(self) -> int:
+        return self.max_capacity.shape[-1]
+
+    @property
+    def action_size(self) -> int:
+        return self.max_capacity.shape[-1]
+
+    def evaporation(self, x: jax.Array) -> jax.Array:
+        return self.evap_factor * jnp.sin(x / self.max_capacity) * x
+
+    def transition(self, x: jax.Array, u: jax.Array) -> jax.Array:
+        inflow = self.downstream.T @ u
+        return x + self.rain - self.evaporation(x) - u + inflow
+
+    def cost(self, x: jax.Array, u: jax.Array) -> jax.Array:
+        del u  # releases are free; the reference charges only level violations
+        below = jnp.maximum(self.lower_bound - x, 0.0)
+        above = jnp.maximum(x - self.upper_bound, 0.0)
+        mid = 0.5 * (self.lower_bound + self.upper_bound)
+        return jnp.sum(
+            self.low_penalty * below**2
+            + self.high_penalty * above**2
+            + self.setpoint_weight * (x - mid) ** 2
+        )
+
+    def final_cost(self, x: jax.Array) -> jax.Array:
+        return self.cost(x, jnp.zeros(self.action_size, x.dtype))
+
+
+def make_reservoir(
+    n_reservoirs: Optional[int] = None,
+    *,
+    downstream=None,
+    max_capacity=100.0,
+    rain=5.0,
+    evap_factor=0.5,
+    lower_bound=10.0,
+    upper_bound=90.0,
+    low_penalty=5.0,
+    high_penalty=100.0,
+    setpoint_weight=0.1,
+    max_release=50.0,
+    dtype=jnp.float32,
+) -> Reservoir:
+    """Build a ``Reservoir`` env from reference-style JSON config fields.
+
+    Default topology is a linear chain ``0 -> 1 -> ... -> R-1 -> out`` (the
+    standard RDDL reservoir instance shape) when only ``n_reservoirs`` is
+    given; pass an explicit ``downstream`` matrix for DAG topologies.
+    """
+    if downstream is not None:
+        D = jnp.asarray(downstream, dtype)
+        R = D.shape[0]
+    else:
+        if n_reservoirs is None:
+            raise ValueError("provide n_reservoirs or downstream")
+        R = n_reservoirs
+        D = jnp.zeros((R, R), dtype)
+        if R > 1:
+            idx = jnp.arange(R - 1)
+            D = D.at[idx, idx + 1].set(1.0)
+
+    def per_res(v):
+        return jnp.broadcast_to(jnp.asarray(v, dtype), (R,)).astype(dtype)
+
+    return Reservoir(
+        downstream=D,
+        max_capacity=per_res(max_capacity),
+        rain=per_res(rain),
+        evap_factor=jnp.asarray(evap_factor, dtype),
+        lower_bound=per_res(lower_bound),
+        upper_bound=per_res(upper_bound),
+        low_penalty=jnp.asarray(low_penalty, dtype),
+        high_penalty=jnp.asarray(high_penalty, dtype),
+        setpoint_weight=jnp.asarray(setpoint_weight, dtype),
+        bounds=Bounds(
+            low=jnp.zeros((R,), dtype), high=per_res(max_release)
+        ),
+    )
