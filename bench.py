@@ -1,0 +1,85 @@
+"""Benchmark harness: batched iLQR throughput on the headline config.
+
+Headline metric (BASELINE.md / BASELINE.json north star): batched iLQR
+solves/s on 2-D nonlinear navigation with a deceleration zone, horizon 100.
+Target: >=1000 solves/s on a v5e-8 (i.e. 125 solves/s/chip); this harness
+reports whole-process throughput on however many chips are visible.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "solves/s", "vs_baseline": N}
+``vs_baseline`` is value / 1000 (the north-star target; the reference
+publishes no numbers of its own — BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from tfmpc_tpu.models.navigation import make_navigation
+    from tfmpc_tpu.parallel import mesh as pmesh
+    from tfmpc_tpu.solvers import ilqr
+
+    devices = jax.devices()
+    n_dev = len(devices)
+
+    env = make_navigation(
+        goal=[8.0, -5.0],
+        deceleration={"center": [[3.0, -2.0]], "decay": [2.0]},
+    )
+    config = ilqr.ILQRConfig(atol=1e-4, max_iterations=50)
+    horizon = 100
+    B = 4096 if devices[0].platform != "cpu" else 256
+    B = (B // n_dev) * n_dev
+
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.uniform(-10.0, 10.0, size=(B, 2)).astype("float32"))
+
+    mesh = pmesh.make_mesh(n_dev)
+
+    def run():
+        res = pmesh.solve_ilqr_sharded(
+            env, x0, horizon=horizon, config=config, mesh=mesh
+        )
+        # Synchronize via a host fetch: on the experimental remote-TPU
+        # backend block_until_ready can return before execution finishes,
+        # which would let this loop enqueue unboundedly.
+        return float(jnp.sum(res.total_cost))
+
+    run()  # compile
+    t0 = time.perf_counter()
+    reps = 0
+    while time.perf_counter() - t0 < 3.0 and reps < 50:
+        run()
+        reps += 1
+    elapsed = time.perf_counter() - t0
+    solves_per_s = B * reps / elapsed
+
+    # sanity: solves must actually converge for throughput to mean anything
+    res = pmesh.solve_ilqr_sharded(env, x0, horizon=horizon, config=config, mesh=mesh)
+    frac = float(jnp.mean(res.converged.astype(jnp.float32)))
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"batched iLQR solves/s (navigation T=100, B={B}, "
+                    f"{n_dev} {devices[0].platform} device(s), "
+                    f"{frac:.3f} converged)"
+                ),
+                "value": round(solves_per_s, 1),
+                "unit": "solves/s",
+                "vs_baseline": round(solves_per_s / 1000.0, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,129 @@
+"""Device-mesh sharding for batched solves (data-parallel scaling).
+
+The reference is single-process single-device (SURVEY §2.3: no parallelism,
+no communication backend). This module is the TPU-build's scaling layer:
+
+- 1-D ``jax.sharding.Mesh`` over the ``"data"`` axis; the scenario batch
+  ``B`` of a batched solve is sharded across devices, every other operand
+  (env parameters, config) is replicated.
+- Compiled with ``jax.jit`` + ``NamedSharding`` constraints: XLA inserts the
+  collectives; with this layout the only cross-device traffic is the final
+  all-reduce of summary statistics, which rides ICI within a slice and DCN
+  only for the tiny scalars across hosts (SURVEY §5 distributed row).
+- Multi-host bring-up via ``jax.distributed.initialize`` (``init_multihost``).
+
+Tested on a CPU-simulated 8-device mesh
+(``--xla_force_host_platform_device_count=8``, SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tfmpc_tpu.models.base import Env
+from tfmpc_tpu.solvers import ilqr as _ilqr
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """Create a 1-D data-parallel mesh over the first ``n_devices`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for arrays with a leading scenario-batch axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(x: jax.Array, mesh: Mesh) -> jax.Array:
+    """Place a [B, ...] array sharded over the data axis (B % n_devices == 0)."""
+    B = x.shape[0]
+    n = mesh.devices.size
+    if B % n != 0:
+        raise ValueError(
+            f"batch size {B} must be divisible by the {n}-device data axis"
+        )
+    return jax.device_put(x, batch_sharding(mesh))
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (e.g. an Env) across the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(jnp.asarray(leaf), sharding), tree
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("horizon", "config", "mesh"))
+def _solve_batch_sharded(env, x0, horizon, config, mesh):
+    out_shard = batch_sharding(mesh)
+    result = _ilqr.solve_batch(env, x0, horizon=horizon, config=config)
+    # Keep every per-scenario output device-local (no gather of trajectories).
+    return jax.lax.with_sharding_constraint(
+        result, jax.tree_util.tree_map(lambda _: out_shard, result)
+    )
+
+
+def solve_ilqr_sharded(
+    env: Env,
+    x0: jax.Array,
+    *,
+    horizon: int,
+    config: _ilqr.ILQRConfig = _ilqr.ILQRConfig(),
+    mesh: Optional[Mesh] = None,
+) -> _ilqr.ILQRResult:
+    """Data-parallel batched iLQR: shard ``x0 [B, n]`` over the mesh and run
+    the fully-on-device batched solve; trajectories stay sharded on their
+    home devices (BASELINE config 5: 4096-scenario multi-host batch).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    env = replicate(env, mesh)
+    x0 = shard_batch(x0, mesh)
+    return _solve_batch_sharded(env, x0, horizon, config, mesh)
+
+
+@jax.jit
+def summarize(result: _ilqr.ILQRResult):
+    """Global summary statistics of a (sharded) batched solve.
+
+    Reductions over the sharded batch axis compile to ``psum``-style
+    collectives over ICI — the only cross-device communication in the whole
+    pipeline (SURVEY §2.3 communication row).
+    """
+    return {
+        "num_converged": jnp.sum(result.converged.astype(jnp.int32)),
+        "frac_converged": jnp.mean(result.converged.astype(jnp.float32)),
+        "mean_cost": jnp.mean(result.total_cost),
+        "max_cost": jnp.max(result.total_cost),
+        "mean_iterations": jnp.mean(result.iterations.astype(jnp.float32)),
+        "max_iterations": jnp.max(result.iterations),
+        "mean_mu": jnp.mean(result.mu),
+    }
+
+
+def init_multihost(**kwargs) -> None:
+    """Multi-host bring-up: call once per host before any mesh construction.
+
+    Thin wrapper over ``jax.distributed.initialize`` (coordinator address,
+    process id/count from env or kwargs). SPMD-synchronous: a lost host
+    aborts the job — there is no elastic fault handling (SURVEY §5 failure
+    row documents this as out of scope, matching the reference which has no
+    distribution at all).
+    """
+    jax.distributed.initialize(**kwargs)
