@@ -1,0 +1,93 @@
+"""CLI tests via click's CliRunner (SURVEY §2.1 CLI surface)."""
+
+import json
+
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+from tfmpc_tpu.cli import cli
+
+
+@pytest.fixture
+def runner():
+    return CliRunner()
+
+
+@pytest.fixture
+def nav_config(tmp_path):
+    cfg = {
+        "name": "navigation",
+        "goal": [8.0, -5.0],
+        "deceleration": {"center": [[3.0, -2.0]], "decay": [2.0]},
+        "x0": [0.0, 0.0],
+    }
+    path = tmp_path / "nav.json"
+    path.write_text(json.dumps(cfg))
+    return str(path)
+
+
+class TestLQRCommand:
+    def test_basic(self, runner):
+        result = runner.invoke(cli, ["lqr", "-n", "3", "-m", "2", "-T", "10"])
+        assert result.exit_code == 0, result.output
+        assert "Trajectory(T=10" in result.output
+
+    def test_parallel_backward_matches(self, runner):
+        seq = runner.invoke(cli, ["lqr", "-n", "3", "-m", "2", "-T", "16", "--sequential"])
+        par = runner.invoke(cli, ["lqr", "-n", "3", "-m", "2", "-T", "16", "--parallel"])
+        assert seq.exit_code == 0, seq.output
+        assert par.exit_code == 0, par.output
+        # identical problem/seed -> near-identical printed trajectories
+        assert seq.output.splitlines()[0] == par.output.splitlines()[0]
+
+    def test_logdir_writes_csv(self, runner, tmp_path):
+        logdir = str(tmp_path / "out")
+        result = runner.invoke(
+            cli, ["lqr", "-n", "2", "-m", "1", "-T", "5", "--logdir", logdir]
+        )
+        assert result.exit_code == 0, result.output
+        assert (tmp_path / "out" / "trajectory_0.csv").exists()
+
+
+class TestILQRCommand:
+    def test_single_solve(self, runner, nav_config):
+        result = runner.invoke(
+            cli, ["ilqr", "--env", nav_config, "-T", "50", "--atol", "1e-6"]
+        )
+        assert result.exit_code == 0, result.output
+        assert "converged=True" in result.output
+
+    def test_x0_override(self, runner, nav_config):
+        result = runner.invoke(
+            cli,
+            ["ilqr", "--env", nav_config, "-T", "30", "--x0", "[7.0, -4.0]"],
+        )
+        assert result.exit_code == 0, result.output
+
+    def test_batched_solve(self, runner, nav_config, tmp_path):
+        logdir = str(tmp_path / "batch_out")
+        result = runner.invoke(
+            cli,
+            [
+                "ilqr", "--env", nav_config, "-T", "30",
+                "--num-samples", "8", "--logdir", logdir,
+            ],
+        )
+        assert result.exit_code == 0, result.output
+        assert "solved 8 scenarios" in result.output
+        assert "8/8 converged" in result.output
+        csvs = list((tmp_path / "batch_out").glob("trajectory_*.csv"))
+        assert len(csvs) == 8
+
+    def test_missing_env_errors(self, runner):
+        result = runner.invoke(cli, ["ilqr", "--env", "/nonexistent.json"])
+        assert result.exit_code != 0
+
+    def test_indivisible_samples_errors(self, runner, nav_config):
+        result = runner.invoke(
+            cli,
+            ["ilqr", "--env", nav_config, "--num-samples", "3", "--num-workers", "2"],
+        )
+        assert result.exit_code != 0
+        assert "divisible" in result.output

@@ -1,0 +1,55 @@
+"""tfmpc_tpu: TPU-native trajectory optimization (LQR / iLQR) framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capability surface of the
+reference ``thiagopbueno/tf-mpc`` library (see SURVEY.md): finite-horizon LQR
+and regularized iLQR over differentiable environments (navigation, HVAC,
+reservoir), batched over thousands of scenarios per chip and sharded over
+device meshes.
+"""
+
+from tfmpc_tpu.core.types import (
+    Bounds,
+    LinearModel,
+    LQRProblem,
+    Policy,
+    QuadraticFinal,
+    QuadraticModel,
+    ValueFunction,
+)
+from tfmpc_tpu.models.base import Env
+from tfmpc_tpu.models.hvac import HVAC, make_hvac
+from tfmpc_tpu.models.navigation import Navigation, make_navigation
+from tfmpc_tpu.models.problems import make_lqr, make_lqr_linear_navigation
+from tfmpc_tpu.models.registry import load_env, make_env
+from tfmpc_tpu.models.reservoir import Reservoir, make_reservoir
+from tfmpc_tpu.solvers import ilqr, lqr
+from tfmpc_tpu.solvers.ilqr import ILQRConfig, ILQRResult
+from tfmpc_tpu.utils.trajectory import Trajectory
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Bounds",
+    "Env",
+    "HVAC",
+    "ILQRConfig",
+    "ILQRResult",
+    "LQRProblem",
+    "LinearModel",
+    "Navigation",
+    "Policy",
+    "QuadraticFinal",
+    "QuadraticModel",
+    "Reservoir",
+    "Trajectory",
+    "ValueFunction",
+    "ilqr",
+    "load_env",
+    "lqr",
+    "make_env",
+    "make_hvac",
+    "make_lqr",
+    "make_lqr_linear_navigation",
+    "make_navigation",
+    "make_reservoir",
+]

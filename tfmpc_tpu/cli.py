@@ -1,0 +1,196 @@
+"""Command-line interface: ``tfmpc-tpu lqr`` and ``tfmpc-tpu ilqr``.
+
+Capability parity with reference ``tfmpc/cli.py`` (SURVEY §2.1 CLI row:
+click group with ``lqr`` (random problem generation + solve) and ``ilqr``
+(JSON env config -> solve) subcommands; options for horizon, atol,
+max-iterations, logdir, num-samples, verbosity; trajectory outputs to the
+logdir).
+
+TPU-native reinterpretation of ``--num-samples``/``--num-workers``: the
+reference fanned samples out over worker *processes*; here samples become a
+scenario *batch* solved in one compiled on-device program, sharded over
+however many chips are visible (``--num-workers`` caps the device count).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+
+import click
+import numpy as np
+
+logger = logging.getLogger("tfmpc_tpu")
+
+
+def _setup_logging(verbose: int) -> None:
+    level = logging.WARNING
+    if verbose == 1:
+        level = logging.INFO
+    elif verbose >= 2:
+        level = logging.DEBUG
+    logging.basicConfig(
+        level=level, format="%(asctime)s %(name)s %(levelname)s %(message)s"
+    )
+
+
+@click.group()
+@click.option("-v", "--verbose", count=True, help="-v info, -vv debug.")
+def cli(verbose: int) -> None:
+    """tfmpc-tpu: TPU-native LQR / iLQR trajectory optimization."""
+    _setup_logging(verbose)
+
+
+def _save_trajectories(result, logdir, num_samples):
+    from tfmpc_tpu.utils.trajectory import Trajectory
+
+    paths = []
+    if logdir:
+        for i in range(num_samples):
+            tr = Trajectory.from_result(result, index=i if num_samples > 1 else None)
+            paths.append(tr.save(os.path.join(logdir, f"trajectory_{i}.csv")))
+    return paths
+
+
+@cli.command()
+@click.option("--state-size", "-n", default=3, show_default=True)
+@click.option("--action-size", "-m", default=2, show_default=True)
+@click.option("--horizon", "-T", default=100, show_default=True)
+@click.option("--seed", default=0, show_default=True)
+@click.option("--x0-scale", default=1.0, show_default=True, help="Std of the random initial state.")
+@click.option("--parallel/--sequential", default=False, show_default=True,
+              help="Use the O(log T) associative-scan Riccati backward pass.")
+@click.option("--logdir", type=click.Path(), default=None, help="Write trajectory CSVs here.")
+def lqr(state_size, action_size, horizon, seed, x0_scale, parallel, logdir):
+    """Generate a random LQR problem and solve it exactly.
+
+    Reference analogue: ``tfmpc lqr`` (SURVEY §3.2).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tfmpc_tpu.models.problems import make_lqr
+    from tfmpc_tpu.solvers import lqr as lqr_solver
+    from tfmpc_tpu.utils.trajectory import Trajectory
+
+    key = jax.random.PRNGKey(seed)
+    kp, kx = jax.random.split(key)
+    problem = make_lqr(kp, state_size, action_size, horizon)
+    x0 = x0_scale * jax.random.normal(kx, (state_size,))
+
+    logger.info(
+        "solving LQR n=%d m=%d T=%d on %s", state_size, action_size, horizon,
+        jax.devices()[0].platform,
+    )
+    states, actions, costs = lqr_solver.solve(problem, x0, parallel=parallel)
+    tr = Trajectory(states, actions, costs)
+    click.echo(repr(tr))
+    for p in _save_trajectories((states, actions, costs), logdir, 1):
+        click.echo(f"trajectory saved to {p}")
+
+
+@cli.command()
+@click.option("--env", "env_path", type=click.Path(exists=True), required=True,
+              help="JSON env config file.")
+@click.option("--horizon", "-T", default=100, show_default=True)
+@click.option("--atol", default=1e-4, show_default=True, help="Convergence tolerance on the cost decrease.")
+@click.option("--max-iterations", default=100, show_default=True)
+@click.option("--x0", "x0_json", default=None,
+              help="Initial state as a JSON list; overrides the config's x0; "
+                   "random if neither is given.")
+@click.option("--num-samples", default=1, show_default=True,
+              help="Scenario batch size (solved in one on-device program).")
+@click.option("--num-workers", default=None, type=int,
+              help="Cap the number of devices the batch is sharded over.")
+@click.option("--seed", default=0, show_default=True)
+@click.option("--logdir", type=click.Path(), default=None, help="Write trajectory CSVs here.")
+def ilqr(env_path, horizon, atol, max_iterations, x0_json, num_samples,
+         num_workers, seed, logdir):
+    """Solve a differentiable env from a JSON config with iLQR.
+
+    Reference analogue: ``tfmpc ilqr`` (SURVEY §3.1).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tfmpc_tpu.models.registry import load_env
+    from tfmpc_tpu.parallel import mesh as pmesh
+    from tfmpc_tpu.solvers import ilqr as ilqr_solver
+    from tfmpc_tpu.utils.trajectory import Trajectory
+
+    with open(env_path) as f:
+        config_json = json.load(f)
+    env = load_env(env_path)
+    n = env.state_size
+
+    if x0_json is not None:
+        try:
+            x0_single = np.asarray(json.loads(x0_json), dtype=np.float32)
+        except (json.JSONDecodeError, ValueError) as e:
+            raise click.UsageError(
+                f"--x0 must be a JSON list of {n} numbers, e.g. '[0.0, 0.0]'; "
+                f"got {x0_json!r} ({e})"
+            )
+    elif "x0" in config_json:
+        x0_single = np.asarray(config_json["x0"], dtype=np.float32)
+    else:
+        x0_single = np.random.default_rng(seed).normal(size=n).astype(np.float32)
+        logger.info("no x0 given; sampled %s", x0_single)
+    if x0_single.shape != (n,):
+        raise click.UsageError(
+            f"x0 has shape {x0_single.shape} but env '{config_json['name']}' "
+            f"has state size {n}"
+        )
+
+    config = ilqr_solver.ILQRConfig(atol=atol, max_iterations=max_iterations)
+
+    if num_samples == 1:
+        result = ilqr_solver.solve(
+            env, jnp.asarray(x0_single), horizon=horizon, config=config
+        )
+        click.echo(repr(Trajectory.from_result(result)))
+        click.echo(
+            f"converged={bool(result.converged)} iterations={int(result.iterations)} "
+            f"total_cost={float(result.total_cost):.6f} "
+            f"residual={float(result.residual):.3e}"
+        )
+        for p in _save_trajectories(result, logdir, 1):
+            click.echo(f"trajectory saved to {p}")
+        sys.exit(0 if bool(result.converged) else 3)
+
+    # Batched: perturb x0 into a scenario batch and shard over devices.
+    rng = np.random.default_rng(seed)
+    x0_batch = x0_single[None, :] + rng.normal(
+        size=(num_samples, n)
+    ).astype(np.float32)
+    mesh = pmesh.make_mesh(num_workers)
+    n_dev = mesh.devices.size
+    if num_samples % n_dev != 0:
+        raise click.UsageError(
+            f"--num-samples {num_samples} must be divisible by the device "
+            f"count {n_dev} (pass --num-workers to change it)"
+        )
+    result = pmesh.solve_ilqr_sharded(
+        env, jnp.asarray(x0_batch), horizon=horizon, config=config, mesh=mesh
+    )
+    stats = jax.device_get(pmesh.summarize(result))
+    click.echo(
+        f"solved {num_samples} scenarios on {n_dev} device(s): "
+        f"{int(stats['num_converged'])}/{num_samples} converged, "
+        f"mean_cost={float(stats['mean_cost']):.6f} "
+        f"mean_iterations={float(stats['mean_iterations']):.1f}"
+    )
+    for p in _save_trajectories(result, logdir, num_samples):
+        logger.info("trajectory saved to %s", p)
+    if logdir:
+        click.echo(f"{num_samples} trajectories saved to {logdir}")
+
+
+def main() -> None:
+    cli()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,164 @@
+"""Parallel (associative-scan) Riccati backward pass — O(log T) depth.
+
+The reference's Riccati recursion is inherently sequential in t (SURVEY §5
+long-context row). This module is the TPU build's long-horizon strategy
+(PAPERS.md: "The Parallelization of Riccati Recursion", arXiv 1809.06360;
+formulation follows Särkkä & García-Fernández's temporal-parallelization of
+LQT, extended here to the stacked ``F/f/C/c`` form with cross terms):
+
+1. Each timestep is condensed into a *conditional value-function element*
+   ``e_k = (A, b, C, eta, J)`` representing
+
+       exp(-V_k(x_k | x_{k+1})) ∝ N(x_{k+1}; A x_k + b, C)
+                                  * exp(-1/2 x_k^T J x_k + eta^T x_k)
+
+   obtained by completing the square in ``u`` (cross terms eliminated via the
+   Schur complement of ``C_uu``).
+2. Element composition is associative; a reverse ``lax.associative_scan``
+   composes all suffixes in O(log T) depth, yielding the quadratic value
+   function ``V_k`` at every timestep simultaneously.
+3. The time-indexed gains ``(K_t, k_t)`` are then recovered from ``V_{t+1}``
+   for all t in parallel (one batched solve, no recursion).
+
+Exactness: algebraically identical to the sequential recursion (same
+fixed point); verified to ~1e-8 in float64 against ``lqr.backward`` in
+``tests/test_lqr_parallel.py``. The composition's ``(I + C_i J_j)`` solves
+are on [n, n] blocks — singular ``C`` (m < n) is fine since ``C`` never gets
+inverted.
+
+When to use: long horizons (reservoir T=500 config, BASELINE config 4) where
+the O(T) sequential scan dominates; for T <= ~100 the sequential scan's lower
+constant usually wins on a single chip.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tfmpc_tpu.core.types import LQRProblem, Policy, ValueFunction
+
+
+def _elements(problem: LQRProblem):
+    """Condense every timestep into a conditional value-function element."""
+    n = problem.state_size
+
+    def one(F_t, f_t, C_t, c_t):
+        F_x = F_t[:, :n]
+        F_u = F_t[:, n:]
+        C_xx = C_t[:n, :n]
+        C_xu = C_t[:n, n:]
+        C_ux = C_t[n:, :n]
+        C_uu = C_t[n:, n:]
+        c_x = c_t[:n]
+        c_u = c_t[n:]
+
+        Cuu_inv_Cux = jnp.linalg.solve(C_uu, C_ux)
+        Cuu_inv_cu = jnp.linalg.solve(C_uu, c_u)
+        Cuu_inv_FuT = jnp.linalg.solve(C_uu, F_u.T)
+
+        A = F_x - F_u @ Cuu_inv_Cux
+        b = f_t - F_u @ Cuu_inv_cu
+        C = F_u @ Cuu_inv_FuT
+        J = C_xx - C_xu @ Cuu_inv_Cux
+        eta = -(c_x - C_xu @ Cuu_inv_cu)
+        return A, b, 0.5 * (C + C.T), eta, 0.5 * (J + J.T)
+
+    return jax.vmap(one)(problem.F, problem.f, problem.C, problem.c)
+
+
+def _combine(earlier, later):
+    """Associative composition of two (batched) elements, earlier ∘ later."""
+    A_i, b_i, C_i, eta_i, J_i = earlier
+    A_j, b_j, C_j, eta_j, J_j = later
+    n = A_i.shape[-1]
+    I = jnp.eye(n, dtype=A_i.dtype)
+
+    # M = (I + C_i J_j)^{-1}; (I + J_j C_i)^{-1} = M^T for symmetric C, J.
+    M = jnp.linalg.solve(
+        I + jnp.einsum("...ik,...kj->...ij", C_i, J_j),
+        jnp.broadcast_to(I, A_i.shape),
+    )
+    MT = jnp.swapaxes(M, -1, -2)
+
+    dot = lambda a, b: jnp.einsum("...ik,...kj->...ij", a, b)
+    mv = lambda a, v: jnp.einsum("...ij,...j->...i", a, v)
+
+    AjM = dot(A_j, M)
+    A = dot(AjM, A_i)
+    b = mv(AjM, b_i + mv(C_i, eta_j)) + b_j
+    C = dot(dot(AjM, C_i), jnp.swapaxes(A_j, -1, -2)) + C_j
+    C = 0.5 * (C + jnp.swapaxes(C, -1, -2))
+
+    AiT = jnp.swapaxes(A_i, -1, -2)
+    AiTMT = dot(AiT, MT)
+    eta = mv(AiTMT, eta_j - mv(J_j, b_i)) + eta_i
+    J = dot(dot(AiTMT, J_j), A_i) + J_i
+    J = 0.5 * (J + jnp.swapaxes(J, -1, -2))
+    return A, b, C, eta, J
+
+
+def backward_parallel(problem: LQRProblem) -> Tuple[Policy, ValueFunction]:
+    """Associative-scan Riccati: same contract as ``lqr.backward``.
+
+    The returned ``ValueFunction.v_0`` (constant terms) is not accumulated by
+    the parallel formulation and is returned as zeros; it affects neither the
+    policy nor any trajectory/cost output.
+    """
+    with jax.default_matmul_precision("highest"):
+        return _backward_parallel_impl(problem)
+
+
+def _backward_parallel_impl(problem):
+    n = problem.state_size
+    T = problem.horizon
+    dtype = problem.F.dtype
+
+    A, b, C, eta, J = _elements(problem)
+
+    # Terminal element: V_T(x) = 1/2 x^T C_f x + c_f^T x.
+    C_f = problem.C_f if problem.C_f is not None else jnp.zeros((n, n), dtype)
+    c_f = problem.c_f if problem.c_f is not None else jnp.zeros((n,), dtype)
+    zero_m = jnp.zeros((1, n, n), dtype)
+    elems = (
+        jnp.concatenate([A, zero_m]),
+        jnp.concatenate([b, jnp.zeros((1, n), dtype)]),
+        jnp.concatenate([C, zero_m]),
+        jnp.concatenate([eta, -c_f[None]]),
+        jnp.concatenate([J, C_f[None]]),
+    )
+
+    # Suffix composition: out[k] = e_k ∘ e_{k+1} ∘ ... ∘ e_T  -> V_k.
+    # With reverse=True the scan reverses, prefix-scans, and reverses back,
+    # so the operator receives (later-suffix, earlier) — swap into our
+    # (earlier, later) composition.
+    _, _, _, eta_all, J_all = jax.lax.associative_scan(
+        lambda a, b: _combine(b, a), elems, reverse=True
+    )
+
+    V_xx = J_all                     # [T+1, n, n]
+    v_x = -eta_all                   # [T+1, n]
+
+    # Recover all gains in parallel from V_{t+1}.
+    def gains(F_t, f_t, C_t, c_t, Vn_xx, vn_x):
+        FV = F_t.T @ Vn_xx
+        Q = C_t + FV @ F_t
+        q = c_t + F_t.T @ (Vn_xx @ f_t + vn_x)
+        Q_ux = Q[n:, :n]
+        Q_uu = Q[n:, n:]
+        q_u = q[n:]
+        chol = jax.scipy.linalg.cho_factor(Q_uu)
+        K = -jax.scipy.linalg.cho_solve(chol, Q_ux)
+        k = -jax.scipy.linalg.cho_solve(chol, q_u)
+        return K, k
+
+    K, k = jax.vmap(gains)(
+        problem.F, problem.f, problem.C, problem.c, V_xx[1:], v_x[1:]
+    )
+
+    value = ValueFunction(
+        V_xx=V_xx, v_x=v_x, v_0=jnp.zeros((T + 1,), dtype)
+    )
+    return Policy(K=K, k=k), value
