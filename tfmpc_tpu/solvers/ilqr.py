@@ -59,6 +59,12 @@ class ILQRConfig:
     num_alphas: int = 11
     accept_ratio: float = 0.0  # z-test threshold on actual/expected reduction
     max_backward_restarts: int = 40
+    # Control-limited DDP (Tassa et al. 2014): solve the backward-pass
+    # Q-minimization as a box-constrained QP (projected Newton) instead of
+    # relying on forward-pass clipping alone. Requires env.bounds. The
+    # reference only clips [MED]; this is the superset mode (SURVEY §2.1).
+    boxqp: bool = False
+    boxqp_iters: int = 8
 
     def alphas(self, dtype=jnp.float32) -> jax.Array:
         """Tassa's line-search schedule: alpha_i = 1.1^(-i^2)."""
@@ -117,7 +123,7 @@ def derivatives(env: Env, X: jax.Array, U: jax.Array):
     return lin, quad, final
 
 
-def backward(lin, quad, final, mu, config: ILQRConfig):
+def backward(lin, quad, final, mu, config: ILQRConfig, bounds=None, Ubar=None):
     """Regularized Riccati backward pass over the linearized models.
 
     Returns ``(ok, policy, dV1, dV2)``. ``ok`` is False when any step's
@@ -126,12 +132,20 @@ def backward(lin, quad, final, mu, config: ILQRConfig):
     Regularization is Tassa-style on ``V_xx`` (mu enters via
     ``f_u^T (V' + mu I) f_u``), expected improvement accumulated with the
     UNregularized ``Q_u``/``Q_uu``.
+
+    With ``config.boxqp`` and ``bounds``/``Ubar`` given, the per-step
+    Q-minimization is the box-constrained QP of control-limited DDP: ``k_t``
+    from projected Newton within ``[low - ubar_t, high - ubar_t]`` and the
+    clamped rows of ``K_t`` zeroed (ops/boxqp.py).
     """
     n = lin.f_x.shape[-1]
+    use_boxqp = config.boxqp and bounds is not None and Ubar is not None
+    if use_boxqp:
+        from tfmpc_tpu.ops.boxqp import boxqp as _boxqp, solve_free_system
 
     def step(carry, inputs):
         V_xx, v_x, dV1, dV2, any_fail = carry
-        f_x, f_u, l_x, l_u, l_xx, l_uu, l_ux = inputs
+        f_x, f_u, l_x, l_u, l_xx, l_uu, l_ux, u_bar = inputs
 
         V_reg = V_xx + mu * jnp.eye(n, dtype=V_xx.dtype)
 
@@ -149,8 +163,20 @@ def backward(lin, quad, final, mu, config: ILQRConfig):
         chol = jnp.linalg.cholesky(Quu_reg)
         fail = ~jnp.all(jnp.isfinite(chol))
 
-        K = -jax.scipy.linalg.cho_solve((chol, True), Qux_reg)
-        k = -jax.scipy.linalg.cho_solve((chol, True), Q_u)
+        if use_boxqp:
+            res = _boxqp(
+                Quu_reg,
+                Q_u,
+                bounds.low - u_bar,
+                bounds.high - u_bar,
+                max_iters=config.boxqp_iters,
+            )
+            k = res.x
+            K = -solve_free_system(res, Qux_reg)
+            fail = fail | ~jnp.all(jnp.isfinite(res.chol_free))
+        else:
+            K = -jax.scipy.linalg.cho_solve((chol, True), Qux_reg)
+            k = -jax.scipy.linalg.cho_solve((chol, True), Q_u)
 
         dV1 = dV1 + k @ Q_u
         dV2 = dV2 + 0.5 * k @ (Q_uu @ k)
@@ -163,14 +189,22 @@ def backward(lin, quad, final, mu, config: ILQRConfig):
 
     zero = jnp.zeros((), lin.f_x.dtype)
     init = (final.l_xx, final.l_x, zero, zero, jnp.array(False))
-    inputs = (lin.f_x, lin.f_u, quad.l_x, quad.l_u, quad.l_xx, quad.l_uu, quad.l_ux)
+    if Ubar is None:
+        T, m = lin.f_u.shape[0], lin.f_u.shape[-1]
+        Ubar = jnp.zeros((T, m), lin.f_x.dtype)
+    inputs = (
+        lin.f_x, lin.f_u, quad.l_x, quad.l_u, quad.l_xx, quad.l_uu, quad.l_ux,
+        Ubar,
+    )
     (_, _, dV1, dV2, any_fail), (K, k) = jax.lax.scan(
         step, init, inputs, reverse=True
     )
     return ~any_fail, Policy(K=K, k=k), dV1, dV2
 
 
-def backward_with_restarts(lin, quad, final, mu, delta, config: ILQRConfig):
+def backward_with_restarts(
+    lin, quad, final, mu, delta, config: ILQRConfig, bounds=None, Ubar=None
+):
     """Backward pass wrapped in the reference's restart-on-non-PD loop.
 
     Reference behavior (SURVEY §3.1 hot loop #1): on a failed PD check,
@@ -179,7 +213,7 @@ def backward_with_restarts(lin, quad, final, mu, delta, config: ILQRConfig):
     """
 
     def attempt(mu):
-        return backward(lin, quad, final, mu, config)
+        return backward(lin, quad, final, mu, config, bounds=bounds, Ubar=Ubar)
 
     ok0, policy0, dV10, dV20 = attempt(mu)
 
@@ -229,7 +263,8 @@ def _iteration(env: Env, state: _LoopState, config: ILQRConfig, alphas):
     """One outer iLQR iteration: derivatives -> backward -> line search."""
     lin, quad, final = derivatives(env, state.X, state.U)
     ok, policy, dV1, dV2, mu, delta = backward_with_restarts(
-        lin, quad, final, state.mu, state.delta, config
+        lin, quad, final, state.mu, state.delta, config,
+        bounds=env.bounds, Ubar=state.U,
     )
 
     # Parallel line search over the whole alpha grid (SURVEY §7.1 decision 4).
