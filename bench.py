@@ -32,7 +32,7 @@ def main():
         goal=[8.0, -5.0],
         deceleration={"center": [[3.0, -2.0]], "decay": [2.0]},
     )
-    config = ilqr.ILQRConfig(atol=1e-4, max_iterations=50)
+    config = ilqr.ILQRConfig(atol=1e-4, max_iterations=50, use_pallas=True)
     horizon = 100
     B = 4096 if devices[0].platform != "cpu" else 256
     B = (B // n_dev) * n_dev

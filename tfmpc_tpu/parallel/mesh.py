@@ -71,12 +71,24 @@ def replicate(tree, mesh: Mesh):
 
 @functools.partial(jax.jit, static_argnames=("horizon", "config", "mesh"))
 def _solve_batch_sharded(env, x0, horizon, config, mesh):
-    out_shard = batch_sharding(mesh)
-    result = _ilqr.solve_batch(env, x0, horizon=horizon, config=config)
-    # Keep every per-scenario output device-local (no gather of trajectories).
-    return jax.lax.with_sharding_constraint(
-        result, jax.tree_util.tree_map(lambda _: out_shard, result)
+    # shard_map (not GSPMD auto-partitioning): scenarios are embarrassingly
+    # parallel, every device runs the full batched solve on its local B/D
+    # shard — this is also what lets the Pallas kernels run per-device
+    # (a pallas_call does not auto-partition under GSPMD).
+    fn = lambda env_, x0_: _ilqr.solve_batch(
+        env_, x0_, horizon=horizon, config=config
     )
+    mapped = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+        # No cross-shard communication exists in the solve (scenarios are
+        # independent); varying-axis inference trips on scalar literals in
+        # scan carries, so the check is disabled.
+        check_vma=False,
+    )
+    return mapped(env, x0)
 
 
 def solve_ilqr_sharded(

@@ -65,6 +65,10 @@ class ILQRConfig:
     # reference only clips [MED]; this is the superset mode (SURVEY §2.1).
     boxqp: bool = False
     boxqp_iters: int = 8
+    # Route the batched backward pass through the fused Pallas time-stepping
+    # kernel (ops/riccati_pallas.py) where eligible (TPU, small n/m,
+    # unconstrained backward). Ignored by the single-scenario path.
+    use_pallas: bool = False
 
     def alphas(self, dtype=jnp.float32) -> jax.Array:
         """Tassa's line-search schedule: alpha_i = 1.1^(-i^2)."""
@@ -388,7 +392,6 @@ def _solve_impl(env, x0, U0, horizon, config):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("config", "horizon"))
 def solve_batch(
     env: Env,
     x0: jax.Array,
@@ -397,12 +400,37 @@ def solve_batch(
     horizon: Optional[int] = None,
     config: ILQRConfig = ILQRConfig(),
 ) -> ILQRResult:
-    """Batched iLQR: vmap of the full solve over a leading scenario axis.
+    """Batched iLQR over a leading scenario axis.
 
     ``x0``: [B, n]; optional ``U0``: [B, T, m]. Every scenario carries its own
     regularization/line-search state; the fused ``while_loop`` iterates until
     all scenarios converge (SURVEY §7.1 decision 1). This is the throughput
     path behind the >=1000 solves/s north star (BASELINE.md).
+
+    Implementation lives in ``ilqr_batched.py`` (batch-explicit core, able to
+    host the fused Pallas kernels); semantics are pinned to
+    ``vmap(solve)`` — see ``solve_batch_vmap``.
+    """
+    from tfmpc_tpu.solvers import ilqr_batched
+
+    return ilqr_batched.solve_batch(
+        env, x0, U0, horizon=horizon, config=config
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config", "horizon"))
+def solve_batch_vmap(
+    env: Env,
+    x0: jax.Array,
+    U0: Optional[jax.Array] = None,
+    *,
+    horizon: Optional[int] = None,
+    config: ILQRConfig = ILQRConfig(),
+) -> ILQRResult:
+    """Reference batched implementation: literal vmap of the full solve.
+
+    Kept as the semantics oracle for the batch-explicit core (and for any
+    env/config combination a fused kernel doesn't cover).
     """
     with jax.default_matmul_precision("highest"):
         if U0 is None:

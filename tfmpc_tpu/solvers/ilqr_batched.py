@@ -1,0 +1,263 @@
+"""Batch-explicit iLQR core: the high-throughput path behind ``solve_batch``.
+
+Semantically identical to ``jax.vmap(ilqr.solve)`` (the single-scenario
+reference implementation in ``ilqr.py``, kept as the correctness oracle —
+``tests/test_ilqr.py::test_batch_matches_single`` pins the equivalence), but
+with the scenario batch as an EXPLICIT leading axis everywhere:
+
+- divergent per-scenario control flow (mu escalation, line-search acceptance,
+  convergence) is masked arithmetic over the batch (SURVEY §7.1 decision 1),
+  exactly reproducing vmap-of-while_loop's freeze-on-done semantics;
+- the explicit [B, ...] layout is what lets the hot stages be swapped for
+  fused Pallas kernels (ops/riccati_pallas.py) — a pallas_call inside a
+  vmapped while_loop would see per-scenario shapes and waste the vector
+  lanes, so the batch axis must be visible to the kernel.
+
+Algorithm and constants are the reference's (SURVEY §2.1/§3.1): Tassa-style
+mu schedule, Cholesky PD probe with backward restarts, parallel-alpha
+backtracking line search, clip or boxQP constraint handling.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tfmpc_tpu.models.base import Env
+from tfmpc_tpu.solvers.ilqr import (
+    ILQRConfig,
+    ILQRResult,
+    _decrease_mu,
+    _increase_mu,
+    backward,
+    derivatives,
+    forward,
+)
+
+
+class _BatchState(NamedTuple):
+    X: jax.Array          # [B, T+1, n]
+    U: jax.Array          # [B, T, m]
+    J: jax.Array          # [B]
+    mu: jax.Array         # [B]
+    delta: jax.Array      # [B]
+    iteration: jax.Array  # [B] int32
+    converged: jax.Array  # [B] bool
+    failed: jax.Array     # [B] bool
+    residual: jax.Array   # [B]
+
+
+def _derivatives_batched(env: Env, X, U):
+    return jax.vmap(lambda x, u: derivatives(env, x, u))(X, U)
+
+
+def _backward_batched(lin, quad, final, mu, config: ILQRConfig, bounds, Ubar):
+    """Batched regularized Riccati backward: [B] scenarios at once.
+
+    Default path: vmap of the single-scenario scan. Pallas path
+    (``config.use_pallas``): the fused time-stepping kernel in
+    ops/riccati_pallas.py (unconstrained small-n problems on TPU).
+    """
+    if _use_pallas_riccati(lin, config, bounds):
+        from tfmpc_tpu.ops.riccati_pallas import riccati_backward_pallas
+
+        return riccati_backward_pallas(lin, quad, final, mu)
+    return jax.vmap(
+        lambda l, q, f, m, u: backward(l, q, f, m, config, bounds=bounds, Ubar=u)
+    )(lin, quad, final, mu, Ubar)
+
+
+def _use_pallas_riccati(lin, config: ILQRConfig, bounds) -> bool:
+    if not getattr(config, "use_pallas", False):
+        return False
+    if config.boxqp and bounds is not None:
+        return False  # boxQP path stays on the vmapped scan for now
+    B = lin.f_x.shape[0]
+    n = lin.f_x.shape[-1]
+    m = lin.f_u.shape[-1]
+    # Lane-aligned batches only: the kernel lays B along the 128-wide vector
+    # lanes; ragged batches fall back to the (correct, slower) scan.
+    return n <= 8 and m <= 8 and B % 128 == 0
+
+
+def _backward_restarts_batched(
+    lin, quad, final, mu, delta, config: ILQRConfig, bounds, Ubar
+):
+    """Per-scenario restart-on-non-PD loop, batch-wide (masked merges)."""
+
+    def attempt(mu):
+        return _backward_batched(lin, quad, final, mu, config, bounds, Ubar)
+
+    ok0, policy0, dV10, dV20 = attempt(mu)
+    tries0 = jnp.zeros_like(mu, dtype=jnp.int32)
+
+    def lane_needs(ok, mu, tries):
+        return (~ok) & (mu < config.mu_max) & (tries < config.max_backward_restarts)
+
+    def cond(carry):
+        ok, _, _, _, mu, _, tries = carry
+        return jnp.any(lane_needs(ok, mu, tries))
+
+    def body(carry):
+        ok, policy, dV1, dV2, mu, delta, tries = carry
+        needs = lane_needs(ok, mu, tries)
+        mu_inc, delta_inc = _increase_mu(mu, delta, config)
+        mu_new = jnp.where(needs, mu_inc, mu)
+        delta_new = jnp.where(needs, delta_inc, delta)
+        ok_n, policy_n, dV1_n, dV2_n = attempt(mu_new)
+        # merge only the lanes that actually restarted
+        sel = lambda new, old: jnp.where(
+            needs.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+        )
+        return (
+            jnp.where(needs, ok_n, ok),
+            jax.tree_util.tree_map(sel, policy_n, policy),
+            jnp.where(needs, dV1_n, dV1),
+            jnp.where(needs, dV2_n, dV2),
+            mu_new,
+            delta_new,
+            tries + needs.astype(jnp.int32),
+        )
+
+    ok, policy, dV1, dV2, mu, delta, _ = jax.lax.while_loop(
+        cond, body, (ok0, policy0, dV10, dV20, mu, delta, tries0)
+    )
+    return ok, policy, dV1, dV2, mu, delta
+
+
+def _linesearch_batched(env: Env, X, U, policy, alphas):
+    """[B, A] closed-loop rollouts: every scenario tries every alpha."""
+    return jax.vmap(
+        lambda x, u, p: jax.vmap(lambda a: forward(env, x, u, p, a))(alphas)
+    )(X, U, policy)
+
+
+def _iteration_batched(env: Env, state: _BatchState, config: ILQRConfig, alphas):
+    active = (
+        (state.iteration < config.max_iterations)
+        & ~state.converged
+        & ~state.failed
+    )
+
+    lin, quad, final = _derivatives_batched(env, state.X, state.U)
+    ok, policy, dV1, dV2, mu, delta = _backward_restarts_batched(
+        lin, quad, final, state.mu, state.delta, config,
+        env.bounds, state.U,
+    )
+
+    X_all, U_all, J_all = _linesearch_batched(env, state.X, state.U, policy, alphas)
+
+    expected = -(alphas[None, :] * dV1[:, None] + alphas[None, :] ** 2 * dV2[:, None])
+    z = (state.J[:, None] - J_all) / jnp.where(expected > 0, expected, 1.0)
+    accepted = jnp.where(
+        expected > 0.0, z > config.accept_ratio, J_all < state.J[:, None]
+    )
+    accepted = accepted & ok[:, None]
+
+    at_optimum = ok & (-(dV1 + dV2) < config.atol)
+
+    any_accepted = jnp.any(accepted, axis=1)            # [B]
+    best = jnp.argmax(accepted, axis=1)                 # [B]
+    take = lambda arr: jnp.take_along_axis(
+        arr, best.reshape((-1, 1) + (1,) * (arr.ndim - 2)), axis=1
+    ).squeeze(1)
+    X_best, U_best, J_best = take(X_all), take(U_all), take(J_all)
+
+    upd = active & any_accepted
+    sel = lambda new, old: jnp.where(
+        upd.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+    )
+    X_new = sel(X_best, state.X)
+    U_new = sel(U_best, state.U)
+    J_new = jnp.where(upd, J_best, state.J)
+
+    residual = jnp.where(
+        any_accepted, state.J - J_new, jnp.where(at_optimum, 0.0, jnp.inf)
+    )
+
+    mu_dec, delta_dec = _decrease_mu(mu, delta, config)
+    mu_inc, delta_inc = _increase_mu(mu, delta, config)
+    good = any_accepted | at_optimum
+    mu_next = jnp.where(active, jnp.where(good, mu_dec, mu_inc), state.mu)
+    delta_next = jnp.where(active, jnp.where(good, delta_dec, delta_inc), state.delta)
+
+    converged_now = at_optimum | (any_accepted & (jnp.abs(residual) < config.atol))
+    failed_now = (~any_accepted) & ~at_optimum & (mu_next >= config.mu_max)
+
+    return _BatchState(
+        X=X_new,
+        U=U_new,
+        J=J_new,
+        mu=mu_next,
+        delta=delta_next,
+        iteration=state.iteration + active.astype(jnp.int32),
+        converged=jnp.where(active, converged_now, state.converged),
+        failed=jnp.where(active, state.failed | failed_now, state.failed),
+        residual=jnp.where(active, residual, state.residual),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config", "horizon"))
+def solve_batch(
+    env: Env,
+    x0: jax.Array,
+    U0: Optional[jax.Array] = None,
+    *,
+    horizon: Optional[int] = None,
+    config: ILQRConfig = ILQRConfig(),
+) -> ILQRResult:
+    """Batch-explicit iLQR solve over ``x0 [B, n]`` (optional ``U0 [B, T, m]``)."""
+    with jax.default_matmul_precision("highest"):
+        return _solve_batch_impl(env, x0, U0, horizon, config)
+
+
+def _solve_batch_impl(env, x0, U0, horizon, config):
+    B = x0.shape[0]
+    if U0 is None:
+        if horizon is None:
+            raise ValueError("provide either U0 or horizon")
+        U0 = jnp.zeros((B, horizon, env.action_size), x0.dtype)
+    U0 = env.clip(U0)
+
+    X0, costs0 = jax.vmap(env.rollout)(x0, U0)
+    J0 = jnp.sum(costs0, axis=1)
+    alphas = config.alphas(x0.dtype)
+
+    init = _BatchState(
+        X=X0,
+        U=U0,
+        J=J0,
+        mu=jnp.full((B,), config.mu_init, x0.dtype),
+        delta=jnp.ones((B,), x0.dtype),
+        iteration=jnp.zeros((B,), jnp.int32),
+        converged=jnp.zeros((B,), bool),
+        failed=jnp.zeros((B,), bool),
+        residual=jnp.full((B,), jnp.inf, x0.dtype),
+    )
+
+    def cond(state: _BatchState):
+        active = (
+            (state.iteration < config.max_iterations)
+            & ~state.converged
+            & ~state.failed
+        )
+        return jnp.any(active)
+
+    final_state = jax.lax.while_loop(
+        cond, lambda s: _iteration_batched(env, s, config, alphas), init
+    )
+
+    states, costs = jax.vmap(env.rollout)(x0, final_state.U)
+    return ILQRResult(
+        states=final_state.X,
+        actions=final_state.U,
+        costs=costs,
+        total_cost=final_state.J,
+        iterations=final_state.iteration,
+        converged=final_state.converged,
+        residual=final_state.residual,
+        mu=final_state.mu,
+    )
