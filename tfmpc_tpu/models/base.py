@@ -130,3 +130,22 @@ class Env:
         if self.bounds is None:
             return u
         return self.bounds.clip(u)
+
+    # -- lane-major kernel hook --------------------------------------------
+    def lane_functions(self):
+        """Optional hook for the fused Pallas rollout kernels.
+
+        Returns ``(params, step_fn, final_fn)`` or ``None``:
+
+          params:   pytree of parameter arrays (passed into the kernel as
+                    explicit inputs — kernel bodies cannot close over traced
+                    env fields)
+          step_fn:  ``(params, x [n, L], u [m, L]) -> (x_next [n, L], cost [L])``
+          final_fn: ``(params, x [n, L]) -> cost [L]``
+
+        Both functions must be pure jnp code over the LANE-MAJOR layout
+        (state/action entries in the sublane dim, scenarios along the vector
+        lanes) — the transpose of the public ``transition``/``cost`` API.
+        Envs that don't implement this simply keep the XLA rollout path.
+        """
+        return None

@@ -74,6 +74,40 @@ class Navigation(Env):
         d = x - self.goal
         return jnp.sum(d * d)
 
+    def lane_functions(self):
+        """Lane-major dynamics/cost for the fused Pallas rollout kernels."""
+        params = {
+            "goal": self.goal,
+            "centers": self.centers,
+            "decays": self.decays,
+        }
+
+        def _lam(params, x):  # x: [n, L] -> [L]
+            centers = params["centers"]  # [Z, n]
+            decays = params["decays"]    # [Z]
+            Z = centers.shape[0]
+            lam = jnp.ones_like(x[0])
+            for z in range(Z):  # Z is tiny and static
+                d2 = sum(
+                    (x[i] - centers[z, i]) ** 2 for i in range(x.shape[0])
+                )
+                dist = jnp.sqrt(d2 + _NORM_EPS)
+                lam = lam * (2.0 / (1.0 + jnp.exp(-decays[z] * dist)) - 1.0)
+            return lam
+
+        def step_fn(params, x, u):  # [n, L], [m, L] -> ([n, L], [L])
+            goal = params["goal"]
+            cost = sum((x[i] - goal[i]) ** 2 for i in range(x.shape[0]))
+            lam = _lam(params, x)
+            x_next = jnp.stack([x[i] + lam * u[i] for i in range(x.shape[0])])
+            return x_next, cost
+
+        def final_fn(params, x):
+            goal = params["goal"]
+            return sum((x[i] - goal[i]) ** 2 for i in range(x.shape[0]))
+
+        return params, step_fn, final_fn
+
 
 def make_navigation(
     goal,

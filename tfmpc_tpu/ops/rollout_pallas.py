@@ -1,0 +1,285 @@
+"""Fused Pallas line-search rollout kernels.
+
+The forward line search is iLQR hot loop #2 (SURVEY §3.1): T sequential tiny
+steps per alpha per scenario. The XLA path issues every ``u = clip(ubar +
+alpha k + K dx)`` / ``transition`` / ``cost`` as separate HBM-bound ops; these
+kernels fuse the entire closed-loop rollout so per-timestep state never
+leaves VMEM, in two phases that together cut line-search HBM traffic ~11x:
+
+1. ``linesearch_costs_pallas`` — roll ALL alpha candidates concurrently
+   (alpha grid unrolled in-register, scenarios on the vector lanes) but store
+   ONLY the total costs ``J[A, B]``: no [A, T, ...] trajectory materialization.
+2. ``rollout_alpha_pallas`` — after the solver picks each scenario's accepted
+   alpha (a per-lane vector), re-roll exactly once to materialize the new
+   trajectory. Recompute is ~free; bandwidth is the scarce resource.
+
+Env dynamics/cost run INSIDE the kernel through the lane-major
+``Env.lane_functions`` hook (params enter as explicit kernel inputs — kernel
+bodies cannot close over traced env fields). Envs without the hook keep the
+XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _param_inputs(params):
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    leaves2d = [jnp.atleast_2d(jnp.asarray(l)) for l in leaves]
+    return leaves2d, treedef
+
+
+def _read_params(refs, treedef, orig_leaves):
+    vals = []
+    for ref, orig in zip(refs, orig_leaves):
+        v = ref[...]
+        vals.append(v.reshape(jnp.shape(orig)))
+    return jax.tree_util.tree_unflatten(treedef, vals)
+
+
+def _choose_bb(B: int) -> int:
+    BB = B if B <= 1024 else 1024
+    while B % BB:
+        BB //= 2
+    return BB
+
+
+def _costs_kernel(T, n, m, A, alphas, step_fn, final_fn, treedef, orig_leaves,
+                  n_params, has_bounds):
+    def kernel(*refs):
+        (xbar_ref, ubar_ref, K_ref, k_ref) = refs[:4]
+        idx = 4
+        if has_bounds:
+            lo_ref, hi_ref = refs[idx], refs[idx + 1]
+            idx += 2
+        param_refs = refs[idx: idx + n_params]
+        J_ref = refs[idx + n_params]
+        x_s, J_s = refs[idx + n_params + 1:]
+
+        t = pl.program_id(1)
+        params = _read_params(param_refs, treedef, orig_leaves)
+
+        @pl.when(t == 0)
+        def _init():
+            for a in range(A):
+                x_s[a * n:(a + 1) * n, :] = xbar_ref[0, :, :]
+            J_s[:, :] = jnp.zeros_like(J_s)
+
+        xbar = xbar_ref[0, :, :]          # [n, BB]
+        ubar = ubar_ref[0, :, :]          # [m, BB]
+        K = K_ref[0, :, :]                # [mn, BB]
+        kv = k_ref[0, :, :]               # [m, BB]
+
+        for a in range(A):
+            x = x_s[a * n:(a + 1) * n, :]
+            dx = [x[i] - xbar[i] for i in range(n)]
+            u_rows = []
+            for b in range(m):
+                u = ubar[b] + alphas[a] * kv[b]
+                u = u + sum(K[b * n + i] * dx[i] for i in range(n))
+                if has_bounds:
+                    u = jnp.clip(u, lo_ref[b, 0], hi_ref[b, 0])
+                u_rows.append(u)
+            u_mat = jnp.stack(u_rows)
+            x_next, cost = step_fn(params, x, u_mat)
+            Jrow = J_s[a, :] + cost
+            if final_fn is not None:
+                # add the final cost exactly once, at the last timestep
+                Jrow = jnp.where(
+                    t == T - 1, Jrow + final_fn(params, x_next), Jrow
+                )
+            J_s[a, :] = Jrow
+            x_s[a * n:(a + 1) * n, :] = x_next
+
+        J_ref[:, :] = J_s[:, :]
+
+    return kernel
+
+
+def _materialize_kernel(T, n, m, step_fn, final_fn, treedef, orig_leaves,
+                        n_params, has_bounds):
+    def kernel(*refs):
+        (alpha_ref, xbar_ref, ubar_ref, K_ref, k_ref) = refs[:5]
+        idx = 5
+        if has_bounds:
+            lo_ref, hi_ref = refs[idx], refs[idx + 1]
+            idx += 2
+        param_refs = refs[idx: idx + n_params]
+        X_ref, U_ref, J_ref = refs[idx + n_params: idx + n_params + 3]
+        x_s, J_s = refs[idx + n_params + 3:]
+
+        t = pl.program_id(1)
+        params = _read_params(param_refs, treedef, orig_leaves)
+
+        @pl.when(t == 0)
+        def _init():
+            x_s[:, :] = xbar_ref[0, :, :]
+            J_s[:, :] = jnp.zeros_like(J_s)
+
+        alpha = alpha_ref[0, :]
+        xbar = xbar_ref[0, :, :]
+        ubar = ubar_ref[0, :, :]
+        K = K_ref[0, :, :]
+        kv = k_ref[0, :, :]
+
+        x = x_s[:, :]
+        dx = [x[i] - xbar[i] for i in range(n)]
+        u_rows = []
+        for b in range(m):
+            u = ubar[b] + alpha * kv[b]
+            u = u + sum(K[b * n + i] * dx[i] for i in range(n))
+            if has_bounds:
+                u = jnp.clip(u, lo_ref[b, 0], hi_ref[b, 0])
+            u_rows.append(u)
+        u_mat = jnp.stack(u_rows)
+        x_next, cost = step_fn(params, x, u_mat)
+        Jrow = J_s[0, :] + cost
+        if final_fn is not None:
+            Jrow = jnp.where(t == T - 1, Jrow + final_fn(params, x_next), Jrow)
+        J_s[0, :] = Jrow
+        x_s[:, :] = x_next
+
+        X_ref[0, :, :] = x_next
+        U_ref[0, :, :] = u_mat
+        J_ref[:, :] = J_s[:, :]
+
+    return kernel
+
+
+def _common_specs(T, n, m, BB, has_bounds, param_arrays):
+    tmap = lambda bi, t: (t, 0, bi)
+    bmap2 = lambda bi, t: (0, bi)
+    pspec = lambda arr: pl.BlockSpec(
+        arr.shape, lambda bi, t: (0,) * arr.ndim, memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((1, n, BB), tmap, memory_space=pltpu.VMEM),   # xbar
+        pl.BlockSpec((1, m, BB), tmap, memory_space=pltpu.VMEM),   # ubar
+        pl.BlockSpec((1, m * n, BB), tmap, memory_space=pltpu.VMEM),  # K
+        pl.BlockSpec((1, m, BB), tmap, memory_space=pltpu.VMEM),   # k
+    ]
+    if has_bounds:
+        in_specs += [
+            pl.BlockSpec((m, 1), lambda bi, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 1), lambda bi, t: (0, 0), memory_space=pltpu.VMEM),
+        ]
+    in_specs += [pspec(a) for a in param_arrays]
+    return in_specs, bmap2
+
+
+def linesearch_costs_pallas(env, X, U, policy, alphas) -> jax.Array:
+    """Total cost of the closed-loop rollout for every (scenario, alpha).
+
+    X: [B, T+1, n], U: [B, T, m], policy.K: [B, T, m, n], policy.k: [B, T, m],
+    alphas: [A] (static values). Returns J_all [B, A].
+    """
+    lane = env.lane_functions()
+    assert lane is not None
+    params, step_fn, final_fn = lane
+    B, T, m = U.shape
+    n = X.shape[-1]
+    # alphas must be compile-time Python floats (ILQRConfig.alphas_static()).
+    alphas_t = tuple(float(a) for a in alphas)
+    A = len(alphas_t)
+
+    xbar = jnp.transpose(X[:, :-1], (1, 2, 0))          # [T, n, B]
+    ubar = jnp.transpose(U, (1, 2, 0))                  # [T, m, B]
+    Kk = jnp.transpose(policy.K.reshape(B, T, m * n), (1, 2, 0))
+    kk = jnp.transpose(policy.k, (1, 2, 0))
+
+    leaves2d, treedef = _param_inputs(params)
+    orig_leaves = jax.tree_util.tree_leaves(params)
+    has_bounds = env.bounds is not None
+    BB = _choose_bb(B)
+    nb = B // BB
+
+    in_specs, bmap2 = _common_specs(T, n, m, BB, has_bounds, leaves2d)
+    inputs = [xbar, ubar, Kk, kk]
+    if has_bounds:
+        inputs += [env.bounds.low.reshape(m, 1), env.bounds.high.reshape(m, 1)]
+    inputs += leaves2d
+
+    J = pl.pallas_call(
+        _costs_kernel(T, n, m, A, alphas_t, step_fn, final_fn, treedef,
+                      orig_leaves, len(leaves2d), has_bounds),
+        grid=(nb, T),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((A, BB), bmap2, memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((A, B), X.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((A * n, BB), X.dtype),
+            pltpu.VMEM((A, BB), X.dtype),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(*inputs)[0]
+    # numerical blowups must always be rejected by the line search
+    J = jnp.where(jnp.isfinite(J), J, jnp.inf)
+    return jnp.transpose(J, (1, 0))  # [B, A]
+
+
+def rollout_alpha_pallas(env, X, U, policy, alpha_vec):
+    """Materialize the closed-loop rollout at each scenario's own alpha.
+
+    alpha_vec: [B]. Returns (X_new [B, T+1, n], U_new [B, T, m], J [B]).
+    """
+    lane = env.lane_functions()
+    assert lane is not None
+    params, step_fn, final_fn = lane
+    B, T, m = U.shape
+    n = X.shape[-1]
+
+    xbar = jnp.transpose(X[:, :-1], (1, 2, 0))
+    ubar = jnp.transpose(U, (1, 2, 0))
+    Kk = jnp.transpose(policy.K.reshape(B, T, m * n), (1, 2, 0))
+    kk = jnp.transpose(policy.k, (1, 2, 0))
+    alpha2 = alpha_vec.astype(X.dtype).reshape(1, B)
+
+    leaves2d, treedef = _param_inputs(params)
+    orig_leaves = jax.tree_util.tree_leaves(params)
+    has_bounds = env.bounds is not None
+    BB = _choose_bb(B)
+    nb = B // BB
+
+    in_specs, bmap2 = _common_specs(T, n, m, BB, has_bounds, leaves2d)
+    in_specs = [pl.BlockSpec((1, BB), bmap2, memory_space=pltpu.VMEM)] + in_specs
+    inputs = [alpha2, xbar, ubar, Kk, kk]
+    if has_bounds:
+        inputs += [env.bounds.low.reshape(m, 1), env.bounds.high.reshape(m, 1)]
+    inputs += leaves2d
+
+    tmap = lambda bi, t: (t, 0, bi)
+    X_out, U_out, J = pl.pallas_call(
+        _materialize_kernel(T, n, m, step_fn, final_fn, treedef, orig_leaves,
+                            len(leaves2d), has_bounds),
+        grid=(nb, T),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, n, BB), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, BB), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB), bmap2, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, n, B), X.dtype),
+            jax.ShapeDtypeStruct((T, m, B), X.dtype),
+            jax.ShapeDtypeStruct((1, B), X.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, BB), X.dtype),
+            pltpu.VMEM((1, BB), X.dtype),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(*inputs)
+
+    X_new = jnp.concatenate(
+        [X[:, :1], jnp.transpose(X_out, (2, 0, 1))], axis=1
+    )
+    U_new = jnp.transpose(U_out, (2, 0, 1))
+    J_new = jnp.where(jnp.isfinite(J[0]), J[0], jnp.inf)
+    return X_new, U_new, J_new

@@ -75,6 +75,10 @@ class ILQRConfig:
         i = jnp.arange(self.num_alphas, dtype=dtype)
         return 1.1 ** (-(i**2))
 
+    def alphas_static(self) -> tuple:
+        """The same schedule as compile-time Python floats (for kernels)."""
+        return tuple(1.1 ** -float(i * i) for i in range(self.num_alphas))
+
 
 class ILQRResult(NamedTuple):
     """Solve output (all per-scenario when batched)."""

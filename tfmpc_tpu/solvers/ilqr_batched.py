@@ -135,6 +135,14 @@ def _linesearch_batched(env: Env, X, U, policy, alphas):
     )(X, U, policy)
 
 
+def _use_pallas_rollout(env: Env, X, config: ILQRConfig) -> bool:
+    return (
+        getattr(config, "use_pallas", False)
+        and env.lane_functions() is not None
+        and X.shape[0] % 128 == 0
+    )
+
+
 def _iteration_batched(env: Env, state: _BatchState, config: ILQRConfig, alphas):
     active = (
         (state.iteration < config.max_iterations)
@@ -148,7 +156,20 @@ def _iteration_batched(env: Env, state: _BatchState, config: ILQRConfig, alphas)
         env.bounds, state.U,
     )
 
-    X_all, U_all, J_all = _linesearch_batched(env, state.X, state.U, policy, alphas)
+    use_fused = _use_pallas_rollout(env, state.X, config)
+    if use_fused:
+        from tfmpc_tpu.ops.rollout_pallas import (
+            linesearch_costs_pallas,
+            rollout_alpha_pallas,
+        )
+
+        J_all = linesearch_costs_pallas(
+            env, state.X, state.U, policy, config.alphas_static()
+        )
+    else:
+        X_all, U_all, J_all = _linesearch_batched(
+            env, state.X, state.U, policy, alphas
+        )
 
     expected = -(alphas[None, :] * dV1[:, None] + alphas[None, :] ** 2 * dV2[:, None])
     z = (state.J[:, None] - J_all) / jnp.where(expected > 0, expected, 1.0)
@@ -161,10 +182,17 @@ def _iteration_batched(env: Env, state: _BatchState, config: ILQRConfig, alphas)
 
     any_accepted = jnp.any(accepted, axis=1)            # [B]
     best = jnp.argmax(accepted, axis=1)                 # [B]
-    take = lambda arr: jnp.take_along_axis(
-        arr, best.reshape((-1, 1) + (1,) * (arr.ndim - 2)), axis=1
-    ).squeeze(1)
-    X_best, U_best, J_best = take(X_all), take(U_all), take(J_all)
+    if use_fused:
+        # Phase 2: materialize only each scenario's accepted-alpha rollout
+        # (bandwidth: one trajectory instead of A).
+        X_best, U_best, J_best = rollout_alpha_pallas(
+            env, state.X, state.U, policy, alphas[best]
+        )
+    else:
+        take = lambda arr: jnp.take_along_axis(
+            arr, best.reshape((-1, 1) + (1,) * (arr.ndim - 2)), axis=1
+        ).squeeze(1)
+        X_best, U_best, J_best = take(X_all), take(U_all), take(J_all)
 
     upd = active & any_accepted
     sel = lambda new, old: jnp.where(
