@@ -43,6 +43,23 @@ def cli(verbose: int) -> None:
     _setup_logging(verbose)
 
 
+def _log_trace(trace, upto: int) -> None:
+    """Replay on-device per-iteration stats as reference-style log lines."""
+    import numpy as np
+
+    J = np.asarray(trace.J)[:, 0]
+    residual = np.asarray(trace.residual)[:, 0]
+    mu = np.asarray(trace.mu)[:, 0]
+    alpha = np.asarray(trace.alpha)[:, 0]
+    accepted = np.asarray(trace.accepted)[:, 0]
+    for i in range(min(upto, J.shape[0])):
+        logger.info(
+            "iteration=%d cost=%.6f residual=%.3e mu=%.3e alpha=%s",
+            i, J[i], residual[i],
+            mu[i], f"{alpha[i]:.4f}" if accepted[i] else "rejected",
+        )
+
+
 def _save_trajectories(result, logdir, num_samples):
     from tfmpc_tpu.utils.trajectory import Trajectory
 
@@ -145,11 +162,22 @@ def ilqr(env_path, horizon, atol, max_iterations, x0_json, num_samples,
         )
 
     config = ilqr_solver.ILQRConfig(atol=atol, max_iterations=max_iterations)
+    trace_iters = logger.isEnabledFor(logging.INFO)
 
     if num_samples == 1:
-        result = ilqr_solver.solve(
-            env, jnp.asarray(x0_single), horizon=horizon, config=config
-        )
+        if trace_iters:
+            # Per-iteration log lines (reference --verbose surface, SURVEY §5
+            # metrics row): run the trace-recording solve and replay on host.
+            batch, trace = ilqr_solver.solve_batch(
+                env, jnp.asarray(x0_single)[None], horizon=horizon,
+                config=config, return_trace=True,
+            )
+            _log_trace(trace, upto=int(batch.iterations[0]))
+            result = jax.tree_util.tree_map(lambda a: a[0], batch)
+        else:
+            result = ilqr_solver.solve(
+                env, jnp.asarray(x0_single), horizon=horizon, config=config
+            )
         click.echo(repr(Trajectory.from_result(result)))
         click.echo(
             f"converged={bool(result.converged)} iterations={int(result.iterations)} "

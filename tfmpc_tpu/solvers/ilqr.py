@@ -81,7 +81,12 @@ class ILQRConfig:
 
 
 class ILQRResult(NamedTuple):
-    """Solve output (all per-scenario when batched)."""
+    """Solve output (all per-scenario when batched).
+
+    Carries the full solver state (``mu``/``delta``/``failed``), so a result
+    is also a resumable checkpoint — see ``ilqr_batched.state_from_result``
+    and ``utils/checkpoint.py`` (SURVEY §5 checkpoint/resume row).
+    """
 
     states: jax.Array       # [T+1, n]
     actions: jax.Array      # [T, m]
@@ -91,6 +96,25 @@ class ILQRResult(NamedTuple):
     converged: jax.Array    # bool: residual < atol reached
     residual: jax.Array     # last |cost decrease|
     mu: jax.Array           # final regularization
+    delta: jax.Array        # regularization schedule multiplier
+    failed: jax.Array       # bool: no progress possible (mu at ceiling)
+
+
+class ILQRTrace(NamedTuple):
+    """Per-iteration solve statistics (leading axis = outer iteration).
+
+    The observability surface of the reference's per-iteration log line
+    (iteration #, total cost, residual, mu — SURVEY §5 metrics row), gathered
+    fully on device and fetched once after the solve. Entries at iterations
+    past a scenario's convergence hold its frozen state.
+    """
+
+    J: jax.Array            # [I, ...] total cost after each iteration
+    residual: jax.Array     # [I, ...] cost decrease achieved
+    mu: jax.Array           # [I, ...] regularization after the mu update
+    alpha: jax.Array        # [I, ...] accepted line-search step size
+    accepted: jax.Array     # [I, ...] bool: some alpha was accepted
+    converged: jax.Array    # [I, ...] bool
 
 
 class _LoopState(NamedTuple):
@@ -268,17 +292,25 @@ def forward(env: Env, X, U, policy: Policy, alpha):
 
 
 def _iteration(env: Env, state: _LoopState, config: ILQRConfig, alphas):
-    """One outer iLQR iteration: derivatives -> backward -> line search."""
-    lin, quad, final = derivatives(env, state.X, state.U)
-    ok, policy, dV1, dV2, mu, delta = backward_with_restarts(
-        lin, quad, final, state.mu, state.delta, config,
-        bounds=env.bounds, Ubar=state.U,
-    )
+    """One outer iLQR iteration: derivatives -> backward -> line search.
+
+    The three stages carry ``jax.named_scope`` annotations so XProf traces
+    (``jax.profiler``) attribute device time to them — the tracing surface
+    promised in SURVEY §5 (the reference has none).
+    """
+    with jax.named_scope("ilqr.derivatives"):
+        lin, quad, final = derivatives(env, state.X, state.U)
+    with jax.named_scope("ilqr.backward"):
+        ok, policy, dV1, dV2, mu, delta = backward_with_restarts(
+            lin, quad, final, state.mu, state.delta, config,
+            bounds=env.bounds, Ubar=state.U,
+        )
 
     # Parallel line search over the whole alpha grid (SURVEY §7.1 decision 4).
-    X_all, U_all, J_all = jax.vmap(
-        lambda a: forward(env, state.X, state.U, policy, a)
-    )(alphas)
+    with jax.named_scope("ilqr.linesearch"):
+        X_all, U_all, J_all = jax.vmap(
+            lambda a: forward(env, state.X, state.U, policy, a)
+        )(alphas)
 
     expected = -(alphas * dV1 + alphas**2 * dV2)
     z = (state.J - J_all) / jnp.where(expected > 0, expected, 1.0)
@@ -393,6 +425,8 @@ def _solve_impl(env, x0, U0, horizon, config):
         converged=final_state.converged,
         residual=final_state.residual,
         mu=final_state.mu,
+        delta=final_state.delta,
+        failed=final_state.failed,
     )
 
 
@@ -403,13 +437,18 @@ def solve_batch(
     *,
     horizon: Optional[int] = None,
     config: ILQRConfig = ILQRConfig(),
-) -> ILQRResult:
+    init_state=None,
+    return_trace: bool = False,
+):
     """Batched iLQR over a leading scenario axis.
 
     ``x0``: [B, n]; optional ``U0``: [B, T, m]. Every scenario carries its own
     regularization/line-search state; the fused ``while_loop`` iterates until
     all scenarios converge (SURVEY §7.1 decision 1). This is the throughput
     path behind the >=1000 solves/s north star (BASELINE.md).
+
+    ``init_state`` resumes a checkpointed solve; ``return_trace=True`` also
+    returns per-iteration ``ILQRTrace`` statistics (see ilqr_batched.py).
 
     Implementation lives in ``ilqr_batched.py`` (batch-explicit core, able to
     host the fused Pallas kernels); semantics are pinned to
@@ -418,7 +457,8 @@ def solve_batch(
     from tfmpc_tpu.solvers import ilqr_batched
 
     return ilqr_batched.solve_batch(
-        env, x0, U0, horizon=horizon, config=config
+        env, x0, U0, horizon=horizon, config=config,
+        init_state=init_state, return_trace=return_trace,
     )
 
 

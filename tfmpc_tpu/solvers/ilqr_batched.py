@@ -30,6 +30,7 @@ from tfmpc_tpu.models.base import Env
 from tfmpc_tpu.solvers.ilqr import (
     ILQRConfig,
     ILQRResult,
+    ILQRTrace,
     _decrease_mu,
     _increase_mu,
     backward,
@@ -38,7 +39,14 @@ from tfmpc_tpu.solvers.ilqr import (
 )
 
 
-class _BatchState(NamedTuple):
+class SolverState(NamedTuple):
+    """Complete per-scenario solver state: the checkpoint/resume unit.
+
+    ``solve_batch(init_state=...)`` continues a solve exactly where a
+    previous one stopped (SURVEY §5 checkpoint row; serialization lives in
+    utils/checkpoint.py).
+    """
+
     X: jax.Array          # [B, T+1, n]
     U: jax.Array          # [B, T, m]
     J: jax.Array          # [B]
@@ -48,6 +56,31 @@ class _BatchState(NamedTuple):
     converged: jax.Array  # [B] bool
     failed: jax.Array     # [B] bool
     residual: jax.Array   # [B]
+
+
+_BatchState = SolverState  # internal alias
+
+
+def state_from_result(result: ILQRResult) -> SolverState:
+    """Rebuild the resumable solver state from a (batched) solve result."""
+    return SolverState(
+        X=result.states,
+        U=result.actions,
+        J=result.total_cost,
+        mu=result.mu,
+        delta=result.delta,
+        iteration=result.iterations,
+        converged=result.converged,
+        failed=result.failed,
+        residual=result.residual,
+    )
+
+
+class _IterationAux(NamedTuple):
+    """Per-iteration statistics emitted for the trace (ILQRTrace rows)."""
+
+    alpha: jax.Array      # [B] accepted step size (0 where none accepted)
+    accepted: jax.Array   # [B] bool
 
 
 def _derivatives_batched(env: Env, X, U):
@@ -150,26 +183,29 @@ def _iteration_batched(env: Env, state: _BatchState, config: ILQRConfig, alphas)
         & ~state.failed
     )
 
-    lin, quad, final = _derivatives_batched(env, state.X, state.U)
-    ok, policy, dV1, dV2, mu, delta = _backward_restarts_batched(
-        lin, quad, final, state.mu, state.delta, config,
-        env.bounds, state.U,
-    )
+    with jax.named_scope("ilqr.derivatives"):
+        lin, quad, final = _derivatives_batched(env, state.X, state.U)
+    with jax.named_scope("ilqr.backward"):
+        ok, policy, dV1, dV2, mu, delta = _backward_restarts_batched(
+            lin, quad, final, state.mu, state.delta, config,
+            env.bounds, state.U,
+        )
 
     use_fused = _use_pallas_rollout(env, state.X, config)
-    if use_fused:
-        from tfmpc_tpu.ops.rollout_pallas import (
-            linesearch_costs_pallas,
-            rollout_alpha_pallas,
-        )
+    with jax.named_scope("ilqr.linesearch"):
+        if use_fused:
+            from tfmpc_tpu.ops.rollout_pallas import (
+                linesearch_costs_pallas,
+                rollout_alpha_pallas,
+            )
 
-        J_all = linesearch_costs_pallas(
-            env, state.X, state.U, policy, config.alphas_static()
-        )
-    else:
-        X_all, U_all, J_all = _linesearch_batched(
-            env, state.X, state.U, policy, alphas
-        )
+            J_all = linesearch_costs_pallas(
+                env, state.X, state.U, policy, config.alphas_static()
+            )
+        else:
+            X_all, U_all, J_all = _linesearch_batched(
+                env, state.X, state.U, policy, alphas
+            )
 
     expected = -(alphas[None, :] * dV1[:, None] + alphas[None, :] ** 2 * dV2[:, None])
     z = (state.J[:, None] - J_all) / jnp.where(expected > 0, expected, 1.0)
@@ -215,7 +251,7 @@ def _iteration_batched(env: Env, state: _BatchState, config: ILQRConfig, alphas)
     converged_now = at_optimum | (any_accepted & (jnp.abs(residual) < config.atol))
     failed_now = (~any_accepted) & ~at_optimum & (mu_next >= config.mu_max)
 
-    return _BatchState(
+    new_state = _BatchState(
         X=X_new,
         U=U_new,
         J=J_new,
@@ -226,9 +262,16 @@ def _iteration_batched(env: Env, state: _BatchState, config: ILQRConfig, alphas)
         failed=jnp.where(active, state.failed | failed_now, state.failed),
         residual=jnp.where(active, residual, state.residual),
     )
+    aux = _IterationAux(
+        alpha=jnp.where(upd, alphas[best], 0.0),
+        accepted=upd,
+    )
+    return new_state, aux
 
 
-@functools.partial(jax.jit, static_argnames=("config", "horizon"))
+@functools.partial(
+    jax.jit, static_argnames=("config", "horizon", "return_trace")
+)
 def solve_batch(
     env: Env,
     x0: jax.Array,
@@ -236,50 +279,101 @@ def solve_batch(
     *,
     horizon: Optional[int] = None,
     config: ILQRConfig = ILQRConfig(),
-) -> ILQRResult:
-    """Batch-explicit iLQR solve over ``x0 [B, n]`` (optional ``U0 [B, T, m]``)."""
+    init_state: Optional[SolverState] = None,
+    return_trace: bool = False,
+):
+    """Batch-explicit iLQR solve over ``x0 [B, n]`` (optional ``U0 [B, T, m]``).
+
+    ``init_state``: resume from a previous solve's ``SolverState``
+    (``state_from_result`` / utils/checkpoint.py); ``x0``/``U0`` are then
+    ignored for initialization (``x0`` may be None).
+
+    ``return_trace=True``: additionally return an ``ILQRTrace`` with
+    per-iteration [I, B] statistics (I = ``config.max_iterations``). The
+    outer loop becomes a ``lax.scan`` over exactly I iterations (converged
+    scenarios freeze via the active mask — identical final state to the
+    while_loop path, which stops early instead of recording history).
+    """
     with jax.default_matmul_precision("highest"):
-        return _solve_batch_impl(env, x0, U0, horizon, config)
+        return _solve_batch_impl(env, x0, U0, horizon, config, init_state,
+                                 return_trace)
 
 
-def _solve_batch_impl(env, x0, U0, horizon, config):
-    B = x0.shape[0]
-    if U0 is None:
-        if horizon is None:
-            raise ValueError("provide either U0 or horizon")
-        U0 = jnp.zeros((B, horizon, env.action_size), x0.dtype)
-    U0 = env.clip(U0)
-
-    X0, costs0 = jax.vmap(env.rollout)(x0, U0)
-    J0 = jnp.sum(costs0, axis=1)
-    alphas = config.alphas(x0.dtype)
-
-    init = _BatchState(
-        X=X0,
-        U=U0,
-        J=J0,
-        mu=jnp.full((B,), config.mu_init, x0.dtype),
-        delta=jnp.ones((B,), x0.dtype),
-        iteration=jnp.zeros((B,), jnp.int32),
-        converged=jnp.zeros((B,), bool),
-        failed=jnp.zeros((B,), bool),
-        residual=jnp.full((B,), jnp.inf, x0.dtype),
+def resume(
+    env: Env,
+    state: SolverState,
+    *,
+    config: ILQRConfig = ILQRConfig(),
+    return_trace: bool = False,
+):
+    """Continue a checkpointed solve until convergence or max_iterations."""
+    return solve_batch(
+        env, None, None, horizon=None, config=config, init_state=state,
+        return_trace=return_trace,
     )
 
-    def cond(state: _BatchState):
-        active = (
-            (state.iteration < config.max_iterations)
-            & ~state.converged
-            & ~state.failed
+
+def _solve_batch_impl(env, x0, U0, horizon, config, init_state=None,
+                      return_trace=False):
+    if init_state is not None:
+        init = init_state
+        x0 = init.X[:, 0]
+    else:
+        B = x0.shape[0]
+        if U0 is None:
+            if horizon is None:
+                raise ValueError("provide either U0 or horizon")
+            U0 = jnp.zeros((B, horizon, env.action_size), x0.dtype)
+        U0 = env.clip(U0)
+
+        X0, costs0 = jax.vmap(env.rollout)(x0, U0)
+        J0 = jnp.sum(costs0, axis=1)
+
+        init = _BatchState(
+            X=X0,
+            U=U0,
+            J=J0,
+            mu=jnp.full((B,), config.mu_init, x0.dtype),
+            delta=jnp.ones((B,), x0.dtype),
+            iteration=jnp.zeros((B,), jnp.int32),
+            converged=jnp.zeros((B,), bool),
+            failed=jnp.zeros((B,), bool),
+            residual=jnp.full((B,), jnp.inf, x0.dtype),
         )
-        return jnp.any(active)
+    alphas = config.alphas(init.X.dtype)
 
-    final_state = jax.lax.while_loop(
-        cond, lambda s: _iteration_batched(env, s, config, alphas), init
-    )
+    trace = None
+    if return_trace:
+        def scan_step(state, _):
+            new_state, aux = _iteration_batched(env, state, config, alphas)
+            row = ILQRTrace(
+                J=new_state.J,
+                residual=new_state.residual,
+                mu=new_state.mu,
+                alpha=aux.alpha,
+                accepted=aux.accepted,
+                converged=new_state.converged,
+            )
+            return new_state, row
+
+        final_state, trace = jax.lax.scan(
+            scan_step, init, None, length=config.max_iterations
+        )
+    else:
+        def cond(state: _BatchState):
+            active = (
+                (state.iteration < config.max_iterations)
+                & ~state.converged
+                & ~state.failed
+            )
+            return jnp.any(active)
+
+        final_state = jax.lax.while_loop(
+            cond, lambda s: _iteration_batched(env, s, config, alphas)[0], init
+        )
 
     states, costs = jax.vmap(env.rollout)(x0, final_state.U)
-    return ILQRResult(
+    result = ILQRResult(
         states=final_state.X,
         actions=final_state.U,
         costs=costs,
@@ -288,4 +382,9 @@ def _solve_batch_impl(env, x0, U0, horizon, config):
         converged=final_state.converged,
         residual=final_state.residual,
         mu=final_state.mu,
+        delta=final_state.delta,
+        failed=final_state.failed,
     )
+    if return_trace:
+        return result, trace
+    return result
