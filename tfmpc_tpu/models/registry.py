@@ -44,15 +44,22 @@ def _make_navigation_cfg(config: Dict[str, Any], dtype=jnp.float32) -> Env:
     )
 
 
+# Keys consumed by the CLI/solver rather than the env constructors
+# (the reference config files carry the initial state alongside env params).
+_NON_ENV_KEYS = ("name", "x0")
+
+
 @register("hvac")
 def _make_hvac_cfg(config: Dict[str, Any], dtype=jnp.float32) -> Env:
-    kwargs = {k: v for k, v in config.items() if k not in ("name", "adj")}
+    kwargs = {
+        k: v for k, v in config.items() if k not in _NON_ENV_KEYS + ("adj",)
+    }
     return make_hvac(config["adj"], dtype=dtype, **kwargs)
 
 
 @register("reservoir")
 def _make_reservoir_cfg(config: Dict[str, Any], dtype=jnp.float32) -> Env:
-    kwargs = {k: v for k, v in config.items() if k not in ("name",)}
+    kwargs = {k: v for k, v in config.items() if k not in _NON_ENV_KEYS}
     return make_reservoir(dtype=dtype, **kwargs)
 
 
