@@ -93,3 +93,41 @@ class TestSolve:
         assert bool(jnp.all(jnp.isfinite(res.states)))
         final = np.asarray(res.states[-1])
         assert np.all(final < 90.0) and np.all(final > 10.0)
+
+    def test_boxqp_long_horizon_converges(self):
+        """Control-limited DDP (boxqp) converges on the saturated T=500
+        instance where pure clipping stalls at the bound (>90% of optimal
+        releases are at the box limits)."""
+        env = make_reservoir(5)
+        x0 = jnp.asarray([95.0, 80.0, 60.0, 40.0, 20.0], jnp.float32)
+        cfg = ilqr.ILQRConfig(atol=1e-3, max_iterations=40, boxqp=True)
+        res = ilqr.solve(env, x0, horizon=500, config=cfg)
+        assert bool(res.converged)
+        u = np.asarray(res.actions)
+        assert u.min() >= -1e-6 and u.max() <= 50.0 + 1e-4
+        # clipping-only stalls higher: boxqp must do at least as well
+        res_clip = ilqr.solve(
+            env, x0, horizon=500,
+            config=ilqr.ILQRConfig(atol=1e-3, max_iterations=40),
+        )
+        assert float(res.total_cost) <= float(res_clip.total_cost) + 1e-3
+
+    def test_kkt_convergence_at_boundary_optimum(self):
+        """A fully saturated stationary point must be reported as converged
+        via the KKT projected-gradient test, not as a mu-ceiling failure.
+        Constructed so the optimum is exactly u = 0 everywhere: levels start
+        below the setpoint band midpoint and every release points uphill
+        (downstream routing removed so no (t, i) benefits from releasing)."""
+        env = make_reservoir(
+            3, downstream=np.zeros((3, 3)), rain=2.0, setpoint_weight=0.5
+        )
+        x0 = jnp.asarray([30.0, 28.0, 26.0], jnp.float32)
+        res = ilqr.solve(
+            env, x0, horizon=50,
+            config=ilqr.ILQRConfig(atol=1e-6, max_iterations=30),
+        )
+        assert bool(res.converged), (
+            float(res.residual), float(res.mu), bool(res.failed)
+        )
+        assert not bool(res.failed)
+        assert float(jnp.max(jnp.abs(res.actions))) == 0.0

@@ -123,8 +123,14 @@ def lqr(state_size, action_size, horizon, seed, x0_scale, parallel, logdir):
               help="Cap the number of devices the batch is sharded over.")
 @click.option("--seed", default=0, show_default=True)
 @click.option("--logdir", type=click.Path(), default=None, help="Write trajectory CSVs here.")
+@click.option("--boxqp/--no-boxqp", "boxqp_flag", default=None,
+              help="Control-limited DDP backward pass (projected-Newton "
+                   "boxQP). Default: on for box-constrained envs. "
+                   "--no-boxqp gives the reference's clipping-only behavior.")
+@click.option("--parallel-backward", is_flag=True, default=False,
+              help="O(log T) associative-scan backward pass (long horizons).")
 def ilqr(env_path, horizon, atol, max_iterations, x0_json, num_samples,
-         num_workers, seed, logdir):
+         num_workers, seed, logdir, boxqp_flag, parallel_backward):
     """Solve a differentiable env from a JSON config with iLQR.
 
     Reference analogue: ``tfmpc ilqr`` (SURVEY §3.1).
@@ -161,7 +167,12 @@ def ilqr(env_path, horizon, atol, max_iterations, x0_json, num_samples,
             f"has state size {n}"
         )
 
-    config = ilqr_solver.ILQRConfig(atol=atol, max_iterations=max_iterations)
+    if boxqp_flag is None:
+        boxqp_flag = env.bounds is not None
+    config = ilqr_solver.ILQRConfig(
+        atol=atol, max_iterations=max_iterations,
+        boxqp=boxqp_flag, parallel_backward=parallel_backward,
+    )
     trace_iters = logger.isEnabledFor(logging.INFO)
 
     if num_samples == 1:

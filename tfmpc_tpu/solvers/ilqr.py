@@ -69,6 +69,20 @@ class ILQRConfig:
     # kernel (ops/riccati_pallas.py) where eligible (TPU, small n/m,
     # unconstrained backward). Ignored by the single-scenario path.
     use_pallas: bool = False
+    # O(log T) associative-scan backward pass (solvers/lqr_parallel.py::
+    # ilqr_backward_parallel) — the long-horizon path (reservoir T=500,
+    # BASELINE config 4). Uses cost-style Levenberg regularization with
+    # ``parallel_mu_floor`` (see that function's docstring); incompatible
+    # with boxqp (falls back to the sequential scan).
+    parallel_backward: bool = False
+    parallel_mu_floor: float = 1e-5
+    # KKT projected-gradient stationarity test for box-constrained envs:
+    # converged when ||U - clip(U - dJ/dU)||_inf < kkt_atol. Recognizes
+    # boundary optima that the expected-improvement test cannot (an
+    # unconstrained Newton step keeps pointing out of the box there, so
+    # -(dV1+dV2) never shrinks and mu would ratchet to the ceiling). Only
+    # evaluated when env.bounds is set — one extra VJP per outer iteration.
+    kkt_atol: float = 1e-4
 
     def alphas(self, dtype=jnp.float32) -> jax.Array:
         """Tassa's line-search schedule: alpha_i = 1.1^(-i^2)."""
@@ -172,6 +186,12 @@ def backward(lin, quad, final, mu, config: ILQRConfig, bounds=None, Ubar=None):
     """
     n = lin.f_x.shape[-1]
     use_boxqp = config.boxqp and bounds is not None and Ubar is not None
+    if config.parallel_backward and not use_boxqp:
+        from tfmpc_tpu.solvers.lqr_parallel import ilqr_backward_parallel
+
+        return ilqr_backward_parallel(
+            lin, quad, final, mu, mu_floor=config.parallel_mu_floor
+        )
     if use_boxqp:
         from tfmpc_tpu.ops.boxqp import boxqp as _boxqp, solve_free_system
 
@@ -331,6 +351,16 @@ def _iteration(env: Env, state: _LoopState, config: ILQRConfig, alphas):
     X_new = jnp.where(any_accepted, X_all[best], state.X)
     U_new = jnp.where(any_accepted, U_all[best], state.U)
     J_new = jnp.where(any_accepted, J_all[best], state.J)
+
+    # KKT stationarity on the updated controls (box-constrained envs only).
+    if env.bounds is not None:
+        with jax.named_scope("ilqr.kkt"):
+            g = jax.grad(env.total_cost, argnums=1)(state.X[0], U_new)
+            pg = U_new - env.clip(U_new - g)
+            stationary = jnp.max(jnp.abs(pg)) < config.kkt_atol
+    else:
+        stationary = jnp.array(False)
+    at_optimum = at_optimum | stationary
 
     residual = jnp.where(
         any_accepted, state.J - J_new, jnp.where(at_optimum, 0.0, jnp.inf)

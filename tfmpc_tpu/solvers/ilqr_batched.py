@@ -106,6 +106,8 @@ def _backward_batched(lin, quad, final, mu, config: ILQRConfig, bounds, Ubar):
 def _use_pallas_riccati(lin, config: ILQRConfig, bounds) -> bool:
     if not getattr(config, "use_pallas", False):
         return False
+    if getattr(config, "parallel_backward", False):
+        return False  # the associative-scan path owns the backward pass
     if config.boxqp and bounds is not None:
         return False  # boxQP path stays on the vmapped scan for now
     B = lin.f_x.shape[0]
@@ -217,6 +219,7 @@ def _iteration_batched(env: Env, state: _BatchState, config: ILQRConfig, alphas)
     at_optimum = ok & (-(dV1 + dV2) < config.atol)
 
     any_accepted = jnp.any(accepted, axis=1)            # [B]
+    kkt_pending = env.bounds is not None  # resolved on U_new below
     best = jnp.argmax(accepted, axis=1)                 # [B]
     if use_fused:
         # Phase 2: materialize only each scenario's accepted-alpha rollout
@@ -237,6 +240,17 @@ def _iteration_batched(env: Env, state: _BatchState, config: ILQRConfig, alphas)
     X_new = sel(X_best, state.X)
     U_new = sel(U_best, state.U)
     J_new = jnp.where(upd, J_best, state.J)
+
+    # KKT stationarity on the updated controls (box-constrained envs only;
+    # see ilqr.py ILQRConfig.kkt_atol).
+    if kkt_pending:
+        with jax.named_scope("ilqr.kkt"):
+            g = jax.vmap(jax.grad(env.total_cost, argnums=1))(
+                state.X[:, 0], U_new
+            )
+            pg = U_new - env.clip(U_new - g)
+            stationary = jnp.max(jnp.abs(pg), axis=(1, 2)) < config.kkt_atol
+        at_optimum = at_optimum | stationary
 
     residual = jnp.where(
         any_accepted, state.J - J_new, jnp.where(at_optimum, 0.0, jnp.inf)

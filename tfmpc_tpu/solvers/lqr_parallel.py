@@ -38,7 +38,14 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from tfmpc_tpu.core.types import LQRProblem, Policy, ValueFunction
+from tfmpc_tpu.core.types import (
+    LinearModel,
+    LQRProblem,
+    Policy,
+    QuadraticFinal,
+    QuadraticModel,
+    ValueFunction,
+)
 
 
 def _elements(problem: LQRProblem):
@@ -162,3 +169,85 @@ def _backward_parallel_impl(problem):
         V_xx=V_xx, v_x=v_x, v_0=jnp.zeros((T + 1,), dtype)
     )
     return Policy(K=K, k=k), value
+
+
+def ilqr_backward_parallel(
+    lin: LinearModel,
+    quad: QuadraticModel,
+    final: QuadraticFinal,
+    mu: jax.Array,
+    mu_floor: float = 1e-5,
+):
+    """iLQR backward pass in O(log T) depth via the associative scan.
+
+    Same contract as ``ilqr.backward`` — ``(ok, Policy, dV1, dV2)`` over the
+    delta-coordinate linearized models — but the T-sequential Riccati
+    recursion becomes the parallel composition above. This is the
+    long-horizon path (BASELINE config 4: reservoir T=500, SURVEY §5
+    long-context row).
+
+    Two deliberate differences from the sequential pass, both documented and
+    pinned by tests:
+
+    - **Regularization style**: mu enters as a Levenberg term on ``l_uu``
+      (cost regularization) instead of Tassa's ``V_xx + mu I`` — a
+      value-regularized recursion is not expressible as a per-step problem
+      transform, while cost regularization keeps the composition exact for
+      the modified problem. Both vanish at convergence (mu -> 0), so the two
+      passes agree at the solution.
+    - **mu_floor**: the element condensation (``_elements``) eliminates ``u``
+      through ``C_uu^{-1}``, so ``C_uu = l_uu + max(mu, mu_floor) I`` must be
+      invertible. The reference envs all have singular ``l_uu`` (costs are
+      linear/absent in ``u``), hence the floor. Its only effect is a slightly
+      damped step — the line search and the ``Q_u -> 0`` convergence test are
+      unaffected (verified: <1e-4 trajectory deviation vs the sequential pass
+      on all env families, tests/test_ilqr_parallel_backward.py).
+    """
+    with jax.default_matmul_precision("highest"):
+        return _ilqr_backward_parallel_impl(lin, quad, final, mu, mu_floor)
+
+
+def _ilqr_backward_parallel_impl(lin, quad, final, mu, mu_floor):
+    T, n = lin.f_x.shape[0], lin.f_x.shape[-1]
+    m = lin.f_u.shape[-1]
+    dtype = lin.f_x.dtype
+    I_m = jnp.eye(m, dtype=dtype)
+
+    mu_eff = jnp.maximum(jnp.asarray(mu, dtype), jnp.asarray(mu_floor, dtype))
+    l_uu_reg = quad.l_uu + mu_eff * I_m
+
+    # Delta-coordinate LQR problem: dx' = f_x dx + f_u du (zero affine term —
+    # the nominal trajectory satisfies the dynamics), quadratized cost.
+    F = jnp.concatenate([lin.f_x, lin.f_u], axis=-1)            # [T, n, n+m]
+    f = jnp.zeros((T, n), dtype)
+    l_xu = jnp.swapaxes(quad.l_ux, -1, -2)
+    C = jnp.concatenate(
+        [
+            jnp.concatenate([quad.l_xx, l_xu], axis=-1),
+            jnp.concatenate([quad.l_ux, l_uu_reg], axis=-1),
+        ],
+        axis=-2,
+    )                                                           # [T, n+m, n+m]
+    c = jnp.concatenate([quad.l_x, quad.l_u], axis=-1)          # [T, n+m]
+    problem = LQRProblem(F=F, f=f, C=C, c=c, C_f=final.l_xx, c_f=final.l_x)
+
+    policy, value = _backward_parallel_impl(problem)
+
+    # Expected improvement + PD probe, all timesteps at once (no recursion).
+    V1 = value.V_xx[1:]                                         # [T, n, n]
+    v1 = value.v_x[1:]                                          # [T, n]
+    fuT_V = jnp.einsum("tnm,tnk->tmk", lin.f_u, V1)             # [T, m, n]
+    Q_u = quad.l_u + jnp.einsum("tnm,tn->tm", lin.f_u, v1)
+    Q_uu = quad.l_uu + jnp.einsum("tmk,tkj->tmj", fuT_V, lin.f_u)
+    Q_uu_reg = Q_uu + mu_eff * I_m
+
+    chol = jnp.linalg.cholesky(Q_uu_reg)
+    ok = (
+        jnp.all(jnp.isfinite(chol))
+        & jnp.all(jnp.isfinite(policy.K))
+        & jnp.all(jnp.isfinite(policy.k))
+    )
+
+    dV1 = jnp.einsum("tm,tm->", policy.k, Q_u)
+    dV2 = 0.5 * jnp.einsum("tm,tmj,tj->", policy.k, Q_uu, policy.k)
+    return ok, policy, dV1, dV2
