@@ -110,6 +110,67 @@ class HVAC(Env):
     def final_cost(self, x: jax.Array) -> jax.Array:
         return self.cost(x, jnp.zeros(self.action_size, x.dtype))
 
+    def lane_functions(self):
+        """Lane-major dynamics/cost for the fused Pallas rollout kernels.
+
+        Room index lives in the sublane dimension (R rows, unrolled — R is
+        small and static), scenarios along the 128-wide vector lanes; the
+        [R, R] wall-conductance matvec unrolls to R^2 scalar-coefficient
+        vector FMAs. Parity with transition/cost is pinned in
+        tests/test_rollout_pallas.py.
+        """
+        params = {
+            "cond": self.adj / self.r_wall,                    # [R, R]
+            "cond_rowsum": jnp.sum(self.adj / self.r_wall, axis=1),
+            "k_out": self.is_out / self.r_out,                 # [R]
+            "k_hall": self.is_hall / self.r_hall,              # [R]
+            "capacity": self.capacity,
+            "temp_low": self.temp_low,
+            "temp_high": self.temp_high,
+            "temp_mid": 0.5 * (self.temp_low + self.temp_high),
+            "temp_out": self.temp_out,
+            "temp_hall": self.temp_hall,
+            "temp_air": self.temp_air,
+            "air_cap": self.air_cap,
+            "cost_air": self.cost_air,
+            "penalty": self.penalty,
+            "setpoint_weight": self.setpoint_weight,
+            "time_delta": self.time_delta,
+        }
+        R = self.state_size
+
+        def _comfort_cost(p, x):  # x: [R, L] -> [L]
+            total = jnp.zeros_like(x[0])
+            for i in range(R):
+                below = jnp.maximum(p["temp_low"][i] - x[i], 0.0)
+                above = jnp.maximum(x[i] - p["temp_high"][i], 0.0)
+                total = total + p["penalty"] * (below * below + above * above)
+                d = x[i] - p["temp_mid"][i]
+                total = total + p["setpoint_weight"] * d * d
+            return total
+
+        def step_fn(p, x, u):  # [R, L], [R, L] -> ([R, L], [L])
+            cost = _comfort_cost(p, x)
+            rows = []
+            for i in range(R):
+                cost = cost + p["cost_air"] * u[i]
+                heat = u[i] * p["air_cap"] * (p["temp_air"] - x[i])
+                exch = -x[i] * p["cond_rowsum"][i]
+                for j in range(R):
+                    exch = exch + p["cond"][i, j] * x[j]
+                leak = (
+                    p["k_out"][i] * (p["temp_out"] - x[i])
+                    + p["k_hall"][i] * (p["temp_hall"] - x[i])
+                )
+                dT = (heat + exch + leak) / p["capacity"][i]
+                rows.append(x[i] + p["time_delta"] * dT)
+            return jnp.stack(rows), cost
+
+        def final_fn(p, x):
+            return _comfort_cost(p, x)
+
+        return params, step_fn, final_fn
+
 
 def make_hvac(
     adj,

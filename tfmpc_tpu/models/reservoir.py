@@ -93,6 +93,57 @@ class Reservoir(Env):
     def final_cost(self, x: jax.Array) -> jax.Array:
         return self.cost(x, jnp.zeros(self.action_size, x.dtype))
 
+    def lane_functions(self):
+        """Lane-major dynamics/cost for the fused Pallas rollout kernels.
+
+        Reservoir index in the sublane dimension (unrolled, R is small and
+        static), scenarios along the vector lanes; the downstream-routing
+        matvec unrolls over the static topology. Parity with transition/cost
+        is pinned in tests/test_rollout_pallas.py.
+        """
+        params = {
+            "downstream": self.downstream,                 # [R, R]
+            "inv_cap": 1.0 / self.max_capacity,            # [R]
+            "rain": self.rain,
+            "evap_factor": self.evap_factor,
+            "lower_bound": self.lower_bound,
+            "upper_bound": self.upper_bound,
+            "mid": 0.5 * (self.lower_bound + self.upper_bound),
+            "low_penalty": self.low_penalty,
+            "high_penalty": self.high_penalty,
+            "setpoint_weight": self.setpoint_weight,
+        }
+        R = self.state_size
+
+        def _level_cost(p, x):  # x: [R, L] -> [L]
+            total = jnp.zeros_like(x[0])
+            for i in range(R):
+                below = jnp.maximum(p["lower_bound"][i] - x[i], 0.0)
+                above = jnp.maximum(x[i] - p["upper_bound"][i], 0.0)
+                d = x[i] - p["mid"][i]
+                total = total + (
+                    p["low_penalty"] * below * below
+                    + p["high_penalty"] * above * above
+                    + p["setpoint_weight"] * d * d
+                )
+            return total
+
+        def step_fn(p, x, u):  # [R, L], [R, L] -> ([R, L], [L])
+            cost = _level_cost(p, x)
+            rows = []
+            for i in range(R):
+                evap = p["evap_factor"] * jnp.sin(x[i] * p["inv_cap"][i]) * x[i]
+                inflow = jnp.zeros_like(x[i])
+                for j in range(R):
+                    inflow = inflow + p["downstream"][j, i] * u[j]
+                rows.append(x[i] + p["rain"][i] - evap - u[i] + inflow)
+            return jnp.stack(rows), cost
+
+        def final_fn(p, x):
+            return _level_cost(p, x)
+
+        return params, step_fn, final_fn
+
 
 def make_reservoir(
     n_reservoirs: Optional[int] = None,
