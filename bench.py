@@ -11,7 +11,9 @@ Prints ONE JSON line:
 publishes no numbers of its own — BASELINE.md).
 """
 
+import contextlib
 import json
+import os
 import sys
 import time
 
@@ -21,6 +23,13 @@ import numpy as np
 
 
 def main():
+    """Optional env knobs (SURVEY §5 tracing row):
+
+    TFMPC_PROFILE_DIR=<dir>  wrap the timed loop in a ``jax.profiler.trace``
+                             (XProf; the solver stages carry named scopes
+                             ilqr.derivatives / ilqr.backward /
+                             ilqr.linesearch / ilqr.kkt).
+    """
     from tfmpc_tpu.models.navigation import make_navigation
     from tfmpc_tpu.parallel import mesh as pmesh
     from tfmpc_tpu.solvers import ilqr
@@ -52,12 +61,19 @@ def main():
         return float(jnp.sum(res.total_cost))
 
     run()  # compile
-    t0 = time.perf_counter()
-    reps = 0
-    while time.perf_counter() - t0 < 3.0 and reps < 50:
-        run()
-        reps += 1
-    elapsed = time.perf_counter() - t0
+    profile_dir = os.environ.get("TFMPC_PROFILE_DIR")
+    ctx = (
+        jax.profiler.trace(profile_dir)
+        if profile_dir
+        else contextlib.nullcontext()
+    )
+    with ctx:
+        t0 = time.perf_counter()
+        reps = 0
+        while time.perf_counter() - t0 < 3.0 and reps < 50:
+            run()
+            reps += 1
+        elapsed = time.perf_counter() - t0
     solves_per_s = B * reps / elapsed
 
     # sanity: solves must actually converge for throughput to mean anything

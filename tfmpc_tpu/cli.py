@@ -38,9 +38,17 @@ def _setup_logging(verbose: int) -> None:
 
 @click.group()
 @click.option("-v", "--verbose", count=True, help="-v info, -vv debug.")
-def cli(verbose: int) -> None:
+@click.option("--debug-nans", is_flag=True, default=False,
+              help="Enable jax_debug_nans: fail loudly at the op that first "
+                   "produces a NaN (the numeric analogue of a sanitizer — "
+                   "SURVEY §5; noticeably slower, debugging only).")
+def cli(verbose: int, debug_nans: bool) -> None:
     """tfmpc-tpu: TPU-native LQR / iLQR trajectory optimization."""
     _setup_logging(verbose)
+    if debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
 
 def _log_trace(trace, upto: int) -> None:

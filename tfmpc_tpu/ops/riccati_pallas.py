@@ -22,8 +22,16 @@ analogue on TPU is Pallas/Mosaic):
   accumulates a per-lane fail mask (NaN/nonpositive pivot), consumed by the
   solver's mu-restart loop.
 
-Contract matches ``ilqr_batched._backward_batched`` (unconstrained Tassa-
-regularized backward; boxQP stays on the scan path).
+Contract matches ``ilqr_batched._backward_batched``. Two variants share the
+kernel body:
+
+- unconstrained (``riccati_backward_pallas``): Cholesky + two solves per step;
+- control-limited DDP (``riccati_backward_boxqp_pallas``): the per-step
+  Q-minimization is the fixed-iteration projected-Newton boxQP of
+  ops/boxqp.py (Tassa, Mansard & Todorov 2014), fully unrolled in-register —
+  clamped-set masks, masked-free-system Cholesky and the projected
+  backtracking line search are all per-lane vector arithmetic, matching the
+  scan path's semantics op-for-op.
 """
 
 from __future__ import annotations
@@ -39,29 +47,132 @@ from jax.experimental.pallas import tpu as pltpu
 from tfmpc_tpu.core.types import Policy
 
 
-def _kernel(T: int, n: int, m: int):
-    nn, nm, mn, mm = n * n, n * m, m * n, m * m
+def _chol_unrolled(M, m, fail=None):
+    """Unrolled per-lane Cholesky of an m x m list-of-lists of [BB] vectors.
 
-    def kernel(
-        fx_ref,    # [1, nn, BB]  f_x[t] row-major (i*n+j) = d x'_i / d x_j
-        fu_ref,    # [1, nm, BB]  f_u[t] (i*m+a)
-        lx_ref,    # [1, n, BB]
-        lu_ref,    # [1, m, BB]
-        lxx_ref,   # [1, nn, BB]
-        luu_ref,   # [1, mm, BB]
-        lux_ref,   # [1, mn, BB]  (a*n+i)
-        mu_ref,    # [1, BB]
-        VT_ref,    # [nn, BB] final-cost Hessian
-        vT_ref,    # [n, BB] final-cost gradient
-        K_ref,     # [1, mn, BB] out
-        k_ref,     # [1, m, BB] out
-        dV1_ref,   # [1, BB] out
-        dV2_ref,   # [1, BB] out
-        fail_ref,  # [1, BB] out (0.0 ok / 1.0 fail)
-        Vxx_s,     # scratch [nn, BB]
-        vx_s,      # scratch [n, BB]
-        acc_s,     # scratch [3, BB]: dV1, dV2, fail
-    ):
+    With ``fail`` given, accumulates a per-lane failure mask on nonpositive /
+    nonfinite pivots (clamping the sqrt so downstream stays finite); without
+    it, NaNs propagate — matching ``jnp.linalg.cholesky`` semantics that the
+    scan-path boxQP inner loop relies on (NaN step -> no improvement -> done).
+    """
+    L = [[None] * m for _ in range(m)]
+    for a in range(m):
+        s = M[a][a] - sum(L[a][b] * L[a][b] for b in range(a))
+        if fail is not None:
+            fail = jnp.where((s <= 0.0) | ~jnp.isfinite(s), 1.0, fail)
+            La = jnp.sqrt(jnp.maximum(s, 1e-30))
+        else:
+            La = jnp.sqrt(s)
+        L[a][a] = La
+        inv = 1.0 / La
+        for c in range(a + 1, m):
+            L[c][a] = (
+                M[c][a] - sum(L[c][b] * L[a][b] for b in range(a))
+            ) * inv
+    return L, fail
+
+
+def _chol_solve_unrolled(L, rhs, m):
+    """Forward/back substitution on per-lane vectors."""
+    y = [None] * m
+    for a in range(m):
+        y[a] = (rhs[a] - sum(L[a][b] * y[b] for b in range(a))) / L[a][a]
+    x = [None] * m
+    for a in reversed(range(m)):
+        x[a] = (y[a] - sum(L[c][a] * x[c] for c in range(a + 1, m))) / L[a][a]
+    return x
+
+
+def _boxqp_lane(H, q, lo, hi, m, newton_iters, ls_alphas, grad_tol=1e-8):
+    """Per-lane projected-Newton boxQP (ops/boxqp.py, lane-major).
+
+    H: m x m list-of-lists of [BB] vectors (PD per lane); q, lo, hi: m-lists.
+    Returns ``(x, free, L_free, fail)`` — minimizer, final free mask (1.0 =
+    free), Cholesky of the masked free system (for the K rows), and the
+    pivot-failure mask of that final factorization.
+    """
+    zero = jnp.zeros_like(q[0])
+
+    def objective(xv):
+        return 0.5 * sum(
+            xv[a] * H[a][b] * xv[b] for a in range(m) for b in range(m)
+        ) + sum(q[a] * xv[a] for a in range(m))
+
+    def free_mask(xv, g):
+        free = []
+        for a in range(m):
+            at_lo = (xv[a] <= lo[a]) & (g[a] > 0.0)
+            at_hi = (xv[a] >= hi[a]) & (g[a] < 0.0)
+            free.append(jnp.where(at_lo | at_hi, zero, zero + 1.0))
+        return free
+
+    def masked_system(free):
+        return [
+            [
+                free[a] * free[b] * H[a][b]
+                + ((1.0 - free[a]) if a == b else 0.0)
+                for b in range(m)
+            ]
+            for a in range(m)
+        ]
+
+    x = [jnp.clip(zero, lo[a], hi[a]) for a in range(m)]
+    done = zero  # 0.0 running / 1.0 frozen
+
+    for _ in range(newton_iters):
+        g = [q[a] + sum(H[a][b] * x[b] for b in range(m)) for a in range(m)]
+        free = free_mask(x, g)
+        gfree2 = sum(free[a] * g[a] * g[a] for a in range(m))
+        nfree = sum(free)
+        converged = (gfree2 < grad_tol * grad_tol) | (nfree == 0.0)
+
+        L, _ = _chol_unrolled(masked_system(free), m)  # NaNs propagate
+        d = _chol_solve_unrolled(L, [free[a] * g[a] for a in range(m)], m)
+        d = [-da for da in d]
+
+        obj_now = objective(x)
+        found = zero
+        xn = list(x)
+        for i in range(ls_alphas):  # alpha = 1, 1/2, 1/4, ... (boxqp.py grid)
+            alpha = 2.0 ** (-i)
+            cand = [
+                jnp.clip(x[a] + alpha * d[a], lo[a], hi[a]) for a in range(m)
+            ]
+            improve = (objective(cand) < obj_now - 1e-12) & (found == 0.0)
+            xn = [jnp.where(improve, cand[a], xn[a]) for a in range(m)]
+            found = jnp.where(improve, 1.0, found)
+
+        blocked = done + converged  # boolean-ish: frozen before this iter
+        x = [
+            jnp.where((blocked == 0.0) & (found == 1.0), xn[a], x[a])
+            for a in range(m)
+        ]
+        done = jnp.where(converged | (found == 0.0), 1.0, done)
+
+    # Final clamped set + factorization at the solution (for the K rows).
+    g = [q[a] + sum(H[a][b] * x[b] for b in range(m)) for a in range(m)]
+    free = free_mask(x, g)
+    L_free, fail = _chol_unrolled(masked_system(free), m, fail=zero)
+    return x, free, L_free, fail
+
+
+def _kernel(T: int, n: int, m: int, boxqp_iters: int = 0, ls_alphas: int = 8):
+    """Kernel body builder; ``boxqp_iters > 0`` selects the control-limited
+    variant (three extra inputs: ubar, lo, hi)."""
+    nn, nm, mn, mm = n * n, n * m, m * n, m * m
+    use_boxqp = boxqp_iters > 0
+
+    def kernel(*refs):
+        (fx_ref, fu_ref, lx_ref, lu_ref, lxx_ref, luu_ref, lux_ref,
+         mu_ref) = refs[:8]
+        idx = 8
+        if use_boxqp:
+            ubar_ref, lo_ref, hi_ref = refs[idx:idx + 3]
+            idx += 3
+        VT_ref, vT_ref = refs[idx:idx + 2]
+        K_ref, k_ref, dV1_ref, dV2_ref, fail_ref = refs[idx + 2:idx + 7]
+        Vxx_s, vx_s, acc_s = refs[idx + 7:]
+
         t = pl.program_id(1)
 
         @pl.when(t == 0)
@@ -110,34 +221,35 @@ def _kernel(T: int, n: int, m: int):
         QuxR = [[lux[a][i] + sum(fu[p][a] * WRx[p][i] for p in range(n))
                  for i in range(n)] for a in range(m)]
 
-        # Unrolled Cholesky of QuuR with per-lane PD probe.
-        L = [[None] * m for _ in range(m)]
-        fail = acc_s[2, :]
-        for a in range(m):
-            s = QuuR[a][a] - sum(L[a][b] * L[a][b] for b in range(a))
-            fail = jnp.where((s <= 0.0) | ~jnp.isfinite(s), 1.0, fail)
-            La = jnp.sqrt(jnp.maximum(s, 1e-30))
-            L[a][a] = La
-            inv = 1.0 / La
-            for c in range(a + 1, m):
-                L[c][a] = (
-                    QuuR[c][a] - sum(L[c][b] * L[a][b] for b in range(a))
-                ) * inv
+        # Unrolled Cholesky of QuuR with per-lane PD probe (both variants —
+        # the scan path probes Quu_reg before boxQP too).
+        L, fail = _chol_unrolled(QuuR, m, fail=acc_s[2, :])
 
-        def chol_solve(rhs):  # rhs: list of m vectors -> QuuR^{-1} rhs
-            y = [None] * m
-            for a in range(m):
-                y[a] = (rhs[a] - sum(L[a][b] * y[b] for b in range(a))) / L[a][a]
-            x = [None] * m
-            for a in reversed(range(m)):
-                x[a] = (
-                    y[a] - sum(L[c][a] * x[c] for c in range(a + 1, m))
-                ) / L[a][a]
-            return x
-
-        kvec = [-s for s in chol_solve(Qu)]
-        Kcols = [chol_solve([QuxR[a][i] for a in range(m)]) for i in range(n)]
-        K = [[-Kcols[i][a] for i in range(n)] for a in range(m)]
+        if use_boxqp:
+            # Control-limited DDP: k from projected-Newton boxQP within
+            # [low - ubar, high - ubar]; K rows from the masked free system
+            # (exact zeros on clamped dims).
+            ubar = [ubar_ref[0, a, :] for a in range(m)]
+            lo = [lo_ref[a, 0] - ubar[a] for a in range(m)]
+            hi = [hi_ref[a, 0] - ubar[a] for a in range(m)]
+            kvec, free, L_free, fail_qp = _boxqp_lane(
+                QuuR, Qu, lo, hi, m, boxqp_iters, ls_alphas
+            )
+            fail = jnp.where(fail_qp > 0.0, 1.0, fail)
+            Kcols = [
+                _chol_solve_unrolled(
+                    L_free, [free[a] * QuxR[a][i] for a in range(m)], m
+                )
+                for i in range(n)
+            ]
+            K = [[-Kcols[i][a] for i in range(n)] for a in range(m)]
+        else:
+            chol_solve = lambda rhs: _chol_solve_unrolled(L, rhs, m)
+            kvec = [-s for s in chol_solve(Qu)]
+            Kcols = [
+                chol_solve([QuxR[a][i] for a in range(m)]) for i in range(n)
+            ]
+            K = [[-Kcols[i][a] for i in range(n)] for a in range(m)]
 
         # Expected improvement with UNregularized Q terms.
         acc_s[0, :] = acc_s[0, :] + sum(kvec[a] * Qu[a] for a in range(m))
@@ -184,10 +296,18 @@ def _kernel(T: int, n: int, m: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _riccati_pallas_raw(fx, fu, lx, lu, lxx, luu, lux, mu, VT, vT, *,
-                        interpret: bool):
-    """Inputs in kernel layout [T, entries, B]; returns (K, k, dV1, dV2, fail)."""
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "boxqp_iters", "ls_alphas")
+)
+def _riccati_pallas_raw(fx, fu, lx, lu, lxx, luu, lux, mu, VT, vT,
+                        ubar=None, lo=None, hi=None, *,
+                        interpret: bool, boxqp_iters: int = 0,
+                        ls_alphas: int = 8):
+    """Inputs in kernel layout [T, entries, B]; returns (K, k, dV1, dV2, fail).
+
+    ``boxqp_iters > 0`` selects the control-limited variant and requires
+    ``ubar [T, m, B]`` and bounds ``lo/hi [m, 1]``.
+    """
     T, nn, B = fx.shape
     n = int(round(nn ** 0.5))
     m = fu.shape[1] // n
@@ -200,16 +320,29 @@ def _riccati_pallas_raw(fx, fu, lx, lu, lxx, luu, lux, mu, VT, vT, *,
     bmap = lambda bi, t: (0, bi)
 
     spec = lambda e: pl.BlockSpec((1, e, BB), tmap, memory_space=pltpu.VMEM)
+    in_specs = [
+        spec(nn), spec(n * m), spec(n), spec(m), spec(nn), spec(m * m),
+        spec(m * n),
+        pl.BlockSpec((1, BB), bmap, memory_space=pltpu.VMEM),      # mu
+    ]
+    inputs = [fx, fu, lx, lu, lxx, luu, lux, mu]
+    if boxqp_iters > 0:
+        in_specs += [
+            spec(m),                                               # ubar
+            pl.BlockSpec((m, 1), lambda bi, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 1), lambda bi, t: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        inputs += [ubar, lo, hi]
+    in_specs += [
+        pl.BlockSpec((nn, BB), lambda bi, t: (0, bi), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n, BB), lambda bi, t: (0, bi), memory_space=pltpu.VMEM),
+    ]
+    inputs += [VT, vT]
+
     out = pl.pallas_call(
-        _kernel(T, n, m),
+        _kernel(T, n, m, boxqp_iters=boxqp_iters, ls_alphas=ls_alphas),
         grid=(nb, T),
-        in_specs=[
-            spec(nn), spec(n * m), spec(n), spec(m), spec(nn), spec(m * m),
-            spec(m * n),
-            pl.BlockSpec((1, BB), bmap, memory_space=pltpu.VMEM),      # mu
-            pl.BlockSpec((nn, BB), lambda bi, t: (0, bi), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, BB), lambda bi, t: (0, bi), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             spec(m * n),
             spec(m),
@@ -230,8 +363,37 @@ def _riccati_pallas_raw(fx, fu, lx, lu, lxx, luu, lux, mu, VT, vT, *,
             pltpu.VMEM((3, BB), fx.dtype),
         ],
         interpret=interpret,
-    )(fx, fu, lx, lu, lxx, luu, lux, mu, VT, vT)
+    )(*inputs)
     return out
+
+
+def _to_kernel_layout(lin, quad, final, mu):
+    B, T, n, _ = lin.f_x.shape
+    m = lin.f_u.shape[-1]
+    to_k = lambda a, e: jnp.transpose(
+        a.reshape(B, T, e), (1, 2, 0)
+    )  # [B,T,...] -> [T, e, B]
+    args = dict(
+        fx=to_k(lin.f_x, n * n),
+        fu=to_k(lin.f_u, n * m),
+        lx=to_k(quad.l_x, n),
+        lu=to_k(quad.l_u, m),
+        lxx=to_k(quad.l_xx, n * n),
+        luu=to_k(quad.l_uu, m * m),
+        lux=to_k(quad.l_ux, m * n),
+        VT=jnp.transpose(final.l_xx.reshape(B, n * n), (1, 0)),
+        vT=jnp.transpose(final.l_x, (1, 0)),
+        mu=mu.astype(lin.f_x.dtype).reshape(1, B),
+    )
+    return args, (B, T, n, m)
+
+
+def _from_kernel_layout(K, k, dV1, dV2, fail, dims):
+    B, T, n, m = dims
+    K = jnp.transpose(K, (2, 0, 1)).reshape(B, T, m, n)
+    k = jnp.transpose(k, (2, 0, 1)).reshape(B, T, m)
+    ok = fail[0] == 0.0
+    return ok, Policy(K=K, k=k), dV1[0], dV2[0]
 
 
 def riccati_backward_pallas(lin, quad, final, mu):
@@ -240,29 +402,36 @@ def riccati_backward_pallas(lin, quad, final, mu):
     lin.f_x: [B, T, n, n] etc.; mu: [B]. Returns ``(ok, Policy, dV1, dV2)``
     exactly like the vmapped scan backward.
     """
-    B, T, n, _ = lin.f_x.shape
-    m = lin.f_u.shape[-1]
-
-    to_k = lambda a, e: jnp.transpose(
-        a.reshape(B, T, e), (1, 2, 0)
-    )  # [B,T,...] -> [T, e, B]
-    fx = to_k(lin.f_x, n * n)
-    fu = to_k(lin.f_u, n * m)
-    lx = to_k(quad.l_x, n)
-    lu = to_k(quad.l_u, m)
-    lxx = to_k(quad.l_xx, n * n)
-    luu = to_k(quad.l_uu, m * m)
-    lux = to_k(quad.l_ux, m * n)
-    VT = jnp.transpose(final.l_xx.reshape(B, n * n), (1, 0))
-    vT = jnp.transpose(final.l_x, (1, 0))
-    mu2 = mu.astype(lin.f_x.dtype).reshape(1, B)
-
+    a, dims = _to_kernel_layout(lin, quad, final, mu)
     interpret = jax.default_backend() == "cpu"
-    K, k, dV1, dV2, fail = _riccati_pallas_raw(
-        fx, fu, lx, lu, lxx, luu, lux, mu2, VT, vT, interpret=interpret
+    out = _riccati_pallas_raw(
+        a["fx"], a["fu"], a["lx"], a["lu"], a["lxx"], a["luu"], a["lux"],
+        a["mu"], a["VT"], a["vT"], interpret=interpret,
     )
+    return _from_kernel_layout(*out, dims)
 
-    K = jnp.transpose(K, (2, 0, 1)).reshape(B, T, m, n)
-    k = jnp.transpose(k, (2, 0, 1)).reshape(B, T, m)
-    ok = fail[0] == 0.0
-    return ok, Policy(K=K, k=k), dV1[0], dV2[0]
+
+def riccati_backward_boxqp_pallas(
+    lin, quad, final, mu, bounds, Ubar, *, boxqp_iters: int = 8,
+    ls_alphas: int = 8,
+):
+    """Control-limited DDP backward in one fused kernel.
+
+    Same contract as the scan-path boxQP backward (``ilqr.backward`` with
+    ``config.boxqp``): per-step ``k_t`` from projected-Newton boxQP within
+    ``[low - ubar_t, high - ubar_t]``, feedback rows through the masked free
+    system (clamped rows exactly zero). Ubar: [B, T, m].
+    """
+    a, dims = _to_kernel_layout(lin, quad, final, mu)
+    B, T, n, m = dims
+    dtype = lin.f_x.dtype
+    ubar = jnp.transpose(Ubar, (1, 2, 0)).astype(dtype)      # [T, m, B]
+    lo = jnp.broadcast_to(bounds.low, (m,)).astype(dtype).reshape(m, 1)
+    hi = jnp.broadcast_to(bounds.high, (m,)).astype(dtype).reshape(m, 1)
+    interpret = jax.default_backend() == "cpu"
+    out = _riccati_pallas_raw(
+        a["fx"], a["fu"], a["lx"], a["lu"], a["lxx"], a["luu"], a["lux"],
+        a["mu"], a["VT"], a["vT"], ubar, lo, hi,
+        interpret=interpret, boxqp_iters=boxqp_iters, ls_alphas=ls_alphas,
+    )
+    return _from_kernel_layout(*out, dims)

@@ -95,6 +95,15 @@ def _backward_batched(lin, quad, final, mu, config: ILQRConfig, bounds, Ubar):
     ops/riccati_pallas.py (unconstrained small-n problems on TPU).
     """
     if _use_pallas_riccati(lin, config, bounds):
+        if config.boxqp and bounds is not None:
+            from tfmpc_tpu.ops.riccati_pallas import (
+                riccati_backward_boxqp_pallas,
+            )
+
+            return riccati_backward_boxqp_pallas(
+                lin, quad, final, mu, bounds, Ubar,
+                boxqp_iters=config.boxqp_iters,
+            )
         from tfmpc_tpu.ops.riccati_pallas import riccati_backward_pallas
 
         return riccati_backward_pallas(lin, quad, final, mu)
@@ -108,8 +117,6 @@ def _use_pallas_riccati(lin, config: ILQRConfig, bounds) -> bool:
         return False
     if getattr(config, "parallel_backward", False):
         return False  # the associative-scan path owns the backward pass
-    if config.boxqp and bounds is not None:
-        return False  # boxQP path stays on the vmapped scan for now
     B = lin.f_x.shape[0]
     n = lin.f_x.shape[-1]
     m = lin.f_u.shape[-1]
