@@ -183,8 +183,6 @@ def _kernel(T: int, n: int, m: int, boxqp_iters: int = 0, ls_alphas: int = 8):
 
         mu = mu_ref[0, :]
 
-        V = [[Vxx_s[i * n + j, :] for j in range(n)] for i in range(n)]
-        v = [vx_s[i, :] for i in range(n)]
         fx = [[fx_ref[0, i * n + j, :] for j in range(n)] for i in range(n)]
         fu = [[fu_ref[0, i * m + a, :] for a in range(m)] for i in range(n)]
         lx = [lx_ref[0, i, :] for i in range(n)]
@@ -193,107 +191,136 @@ def _kernel(T: int, n: int, m: int, boxqp_iters: int = 0, ls_alphas: int = 8):
         luu = [[luu_ref[0, a * m + b, :] for b in range(m)] for a in range(m)]
         lux = [[lux_ref[0, a * n + i, :] for i in range(n)] for a in range(m)]
 
-        VR = [[V[i][j] + jnp.where(i == j, mu, 0.0) for j in range(n)]
-              for i in range(n)]
-
-        # Q_x = l_x + f_x^T v ; Q_u = l_u + f_u^T v
-        Qx = [lx[i] + sum(fx[p][i] * v[p] for p in range(n)) for i in range(n)]
-        Qu = [lu[a] + sum(fu[p][a] * v[p] for p in range(n)) for a in range(m)]
-
-        # W = V f_x ; WR = (V + mu I) f_u  (shared intermediates, 2 n^3 ops)
-        W = [[sum(V[p][q] * fx[q][j] for q in range(n)) for j in range(n)]
-             for p in range(n)]
-        Wu = [[sum(V[p][q] * fu[q][b] for q in range(n)) for b in range(m)]
-              for p in range(n)]
-        WRu = [[sum(VR[p][q] * fu[q][b] for q in range(n)) for b in range(m)]
-               for p in range(n)]
-        WRx = [[sum(VR[p][q] * fx[q][j] for q in range(n)) for j in range(n)]
-               for p in range(n)]
-
-        Qxx = [[lxx[i][j] + sum(fx[p][i] * W[p][j] for p in range(n))
-                for j in range(n)] for i in range(n)]
-        Quu = [[luu[a][b] + sum(fu[p][a] * Wu[p][b] for p in range(n))
-                for b in range(m)] for a in range(m)]
-        Qux = [[lux[a][i] + sum(fu[p][a] * W[p][i] for p in range(n))
-                for i in range(n)] for a in range(m)]
-        QuuR = [[luu[a][b] + sum(fu[p][a] * WRu[p][b] for p in range(n))
-                 for b in range(m)] for a in range(m)]
-        QuxR = [[lux[a][i] + sum(fu[p][a] * WRx[p][i] for p in range(n))
-                 for i in range(n)] for a in range(m)]
-
-        # Unrolled Cholesky of QuuR with per-lane PD probe (both variants —
-        # the scan path probes Quu_reg before boxQP too).
-        L, fail = _chol_unrolled(QuuR, m, fail=acc_s[2, :])
-
         if use_boxqp:
-            # Control-limited DDP: k from projected-Newton boxQP within
-            # [low - ubar, high - ubar]; K rows from the masked free system
-            # (exact zeros on clamped dims).
             ubar = [ubar_ref[0, a, :] for a in range(m)]
-            lo = [lo_ref[a, 0] - ubar[a] for a in range(m)]
-            hi = [hi_ref[a, 0] - ubar[a] for a in range(m)]
-            kvec, free, L_free, fail_qp = _boxqp_lane(
-                QuuR, Qu, lo, hi, m, boxqp_iters, ls_alphas
+            qp_bounds = (
+                [lo_ref[a, 0] - ubar[a] for a in range(m)],
+                [hi_ref[a, 0] - ubar[a] for a in range(m)],
             )
-            fail = jnp.where(fail_qp > 0.0, 1.0, fail)
-            Kcols = [
-                _chol_solve_unrolled(
-                    L_free, [free[a] * QuxR[a][i] for a in range(m)], m
-                )
-                for i in range(n)
-            ]
-            K = [[-Kcols[i][a] for i in range(n)] for a in range(m)]
         else:
-            chol_solve = lambda rhs: _chol_solve_unrolled(L, rhs, m)
-            kvec = [-s for s in chol_solve(Qu)]
-            Kcols = [
-                chol_solve([QuxR[a][i] for a in range(m)]) for i in range(n)
-            ]
-            K = [[-Kcols[i][a] for i in range(n)] for a in range(m)]
+            qp_bounds = None
 
-        # Expected improvement with UNregularized Q terms.
-        acc_s[0, :] = acc_s[0, :] + sum(kvec[a] * Qu[a] for a in range(m))
-        acc_s[1, :] = acc_s[1, :] + 0.5 * sum(
-            kvec[a] * Quu[a][b] * kvec[b] for a in range(m) for b in range(m)
+        _riccati_step_math(
+            n, m, fx, fu, lx, lu, lxx, luu, lux, mu, qp_bounds,
+            boxqp_iters, ls_alphas,
+            Vxx_s, vx_s, acc_s, K_ref, k_ref, dV1_ref, dV2_ref, fail_ref,
         )
-        acc_s[2, :] = fail
-
-        # Value update (unregularized), symmetrized.
-        Quu_k = [sum(Quu[a][b] * kvec[b] for b in range(m)) for a in range(m)]
-        Quu_K = [[sum(Quu[a][b] * K[b][j] for b in range(m)) for j in range(n)]
-                 for a in range(m)]
-        Vn = [[None] * n for _ in range(n)]
-        for i in range(n):
-            for j in range(i, n):
-                val = Qxx[i][j]
-                val = val + sum(K[a][i] * Quu_K[a][j] for a in range(m))
-                val = val + sum(K[a][i] * Qux[a][j] for a in range(m))
-                val = val + sum(Qux[a][i] * K[a][j] for a in range(m))
-                Vn[i][j] = val
-                Vn[j][i] = val
-        vn = [
-            Qx[i]
-            + sum(K[a][i] * Quu_k[a] for a in range(m))
-            + sum(K[a][i] * Qu[a] for a in range(m))
-            + sum(Qux[a][i] * kvec[a] for a in range(m))
-            for i in range(n)
-        ]
-
-        for i in range(n):
-            for j in range(n):
-                Vxx_s[i * n + j, :] = Vn[i][j]
-            vx_s[i, :] = vn[i]
-
-        for a in range(m):
-            for i in range(n):
-                K_ref[0, a * n + i, :] = K[a][i]
-            k_ref[0, a, :] = kvec[a]
-
-        dV1_ref[0, :] = acc_s[0, :]
-        dV2_ref[0, :] = acc_s[1, :]
-        fail_ref[0, :] = acc_s[2, :]
 
     return kernel
+
+
+def _riccati_step_math(n, m, fx, fu, lx, lu, lxx, luu, lux, mu, qp_bounds,
+                       boxqp_iters, ls_alphas,
+                       Vxx_s, vx_s, acc_s,
+                       K_ref, k_ref, dV1_ref, dV2_ref, fail_ref):
+    """One Riccati timestep on per-lane entry lists (factored out of the
+    kernel body so both constraint variants share the exact math).
+
+    ``qp_bounds``: None for the unconstrained variant, else ``(lo, hi)``
+    m-lists of per-lane bounds already shifted by ubar (delta coordinates).
+    """
+    use_boxqp = qp_bounds is not None
+    V = [[Vxx_s[i * n + j, :] for j in range(n)] for i in range(n)]
+    v = [vx_s[i, :] for i in range(n)]
+
+    VR = [[V[i][j] + jnp.where(i == j, mu, 0.0) for j in range(n)]
+          for i in range(n)]
+
+    # Q_x = l_x + f_x^T v ; Q_u = l_u + f_u^T v
+    Qx = [lx[i] + sum(fx[p][i] * v[p] for p in range(n)) for i in range(n)]
+    Qu = [lu[a] + sum(fu[p][a] * v[p] for p in range(n)) for a in range(m)]
+
+    # W = V f_x ; WR = (V + mu I) f_u  (shared intermediates, 2 n^3 ops)
+    W = [[sum(V[p][q] * fx[q][j] for q in range(n)) for j in range(n)]
+         for p in range(n)]
+    Wu = [[sum(V[p][q] * fu[q][b] for q in range(n)) for b in range(m)]
+          for p in range(n)]
+    WRu = [[sum(VR[p][q] * fu[q][b] for q in range(n)) for b in range(m)]
+           for p in range(n)]
+    WRx = [[sum(VR[p][q] * fx[q][j] for q in range(n)) for j in range(n)]
+           for p in range(n)]
+
+    Qxx = [[lxx[i][j] + sum(fx[p][i] * W[p][j] for p in range(n))
+            for j in range(n)] for i in range(n)]
+    Quu = [[luu[a][b] + sum(fu[p][a] * Wu[p][b] for p in range(n))
+            for b in range(m)] for a in range(m)]
+    Qux = [[lux[a][i] + sum(fu[p][a] * W[p][i] for p in range(n))
+            for i in range(n)] for a in range(m)]
+    QuuR = [[luu[a][b] + sum(fu[p][a] * WRu[p][b] for p in range(n))
+             for b in range(m)] for a in range(m)]
+    QuxR = [[lux[a][i] + sum(fu[p][a] * WRx[p][i] for p in range(n))
+             for i in range(n)] for a in range(m)]
+
+    # Unrolled Cholesky of QuuR with per-lane PD probe (both variants —
+    # the scan path probes Quu_reg before boxQP too).
+    L, fail = _chol_unrolled(QuuR, m, fail=acc_s[2, :])
+
+    if use_boxqp:
+        # Control-limited DDP: k from projected-Newton boxQP within
+        # [low - ubar, high - ubar]; K rows from the masked free system
+        # (exact zeros on clamped dims).
+        lo, hi = qp_bounds
+        kvec, free, L_free, fail_qp = _boxqp_lane(
+            QuuR, Qu, lo, hi, m, boxqp_iters, ls_alphas
+        )
+        fail = jnp.where(fail_qp > 0.0, 1.0, fail)
+        Kcols = [
+            _chol_solve_unrolled(
+                L_free, [free[a] * QuxR[a][i] for a in range(m)], m
+            )
+            for i in range(n)
+        ]
+        K = [[-Kcols[i][a] for i in range(n)] for a in range(m)]
+    else:
+        chol_solve = lambda rhs: _chol_solve_unrolled(L, rhs, m)
+        kvec = [-s for s in chol_solve(Qu)]
+        Kcols = [
+            chol_solve([QuxR[a][i] for a in range(m)]) for i in range(n)
+        ]
+        K = [[-Kcols[i][a] for i in range(n)] for a in range(m)]
+
+    # Expected improvement with UNregularized Q terms.
+    acc_s[0, :] = acc_s[0, :] + sum(kvec[a] * Qu[a] for a in range(m))
+    acc_s[1, :] = acc_s[1, :] + 0.5 * sum(
+        kvec[a] * Quu[a][b] * kvec[b] for a in range(m) for b in range(m)
+    )
+    acc_s[2, :] = fail
+
+    # Value update (unregularized), symmetrized.
+    Quu_k = [sum(Quu[a][b] * kvec[b] for b in range(m)) for a in range(m)]
+    Quu_K = [[sum(Quu[a][b] * K[b][j] for b in range(m)) for j in range(n)]
+             for a in range(m)]
+    Vn = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i, n):
+            val = Qxx[i][j]
+            val = val + sum(K[a][i] * Quu_K[a][j] for a in range(m))
+            val = val + sum(K[a][i] * Qux[a][j] for a in range(m))
+            val = val + sum(Qux[a][i] * K[a][j] for a in range(m))
+            Vn[i][j] = val
+            Vn[j][i] = val
+    vn = [
+        Qx[i]
+        + sum(K[a][i] * Quu_k[a] for a in range(m))
+        + sum(K[a][i] * Qu[a] for a in range(m))
+        + sum(Qux[a][i] * kvec[a] for a in range(m))
+        for i in range(n)
+    ]
+
+    for i in range(n):
+        for j in range(n):
+            Vxx_s[i * n + j, :] = Vn[i][j]
+        vx_s[i, :] = vn[i]
+
+    for a in range(m):
+        for i in range(n):
+            K_ref[0, a * n + i, :] = K[a][i]
+        k_ref[0, a, :] = kvec[a]
+
+    dV1_ref[0, :] = acc_s[0, :]
+    dV2_ref[0, :] = acc_s[1, :]
+    fail_ref[0, :] = acc_s[2, :]
+
 
 
 @functools.partial(
@@ -435,3 +462,4 @@ def riccati_backward_boxqp_pallas(
         interpret=interpret, boxqp_iters=boxqp_iters, ls_alphas=ls_alphas,
     )
     return _from_kernel_layout(*out, dims)
+
