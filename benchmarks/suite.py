@@ -1,0 +1,183 @@
+"""Full benchmark suite: one JSON line per BASELINE.md evaluation config.
+
+The driver-facing headline harness is ``bench.py`` at the repo root (config
+2 only, one line); this suite covers the whole config ladder:
+
+  1. LQR, linear navigation, T=100, single instance
+  2. iLQR, nonlinear navigation with a deceleration zone, T=100, batched
+  3. iLQR, box-constrained 6-room HVAC (control-limited DDP), T=100, batched
+  4. iLQR, 5-reservoir network, T=500 (boxQP; also timed with the
+     associative-scan backward), batched
+  5. 4096-scenario batch sharded over all visible devices
+
+Usage: ``python benchmarks/suite.py [--quick]``. Single-process; on a
+multi-host pod slice call ``tfmpc_tpu.parallel.mesh.init_multihost()`` first
+and divide the per-process B by process count.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _throughput(fn, total: int, budget_s: float = 3.0, max_reps: int = 50):
+    fn()  # compile
+    t0 = time.perf_counter()
+    reps = 0
+    while time.perf_counter() - t0 < budget_s and reps < max_reps:
+        fn()
+        reps += 1
+    return total * reps / (time.perf_counter() - t0)
+
+
+def _report(config, metric, value, unit, extra=None):
+    line = {"config": config, "metric": metric,
+            "value": round(value, 1), "unit": unit}
+    if extra:
+        line.update(extra)
+    print(json.dumps(line), flush=True)
+
+
+def config1_lqr_linear_nav(quick: bool):
+    from tfmpc_tpu.models.problems import make_lqr_linear_navigation
+    from tfmpc_tpu.solvers import lqr
+
+    p = make_lqr_linear_navigation(
+        jnp.array([8.0, -5.0]), beta=0.5, horizon=100
+    )
+    x0 = jnp.zeros(2)
+    fn = lambda: float(jnp.sum(lqr.solve(p, x0)[1]))
+    solves = _throughput(fn, 1, 1.0 if quick else 3.0)
+    _report(1, "LQR linear-nav T=100 single-instance", solves, "solves/s")
+
+
+def config2_nav_ilqr(quick: bool):
+    from tfmpc_tpu.models.navigation import make_navigation
+    from tfmpc_tpu.solvers import ilqr
+
+    env = make_navigation(
+        goal=[8.0, -5.0],
+        deceleration={"center": [[3.0, -2.0]], "decay": [2.0]},
+    )
+    B = 512 if quick else 4096
+    x0 = jnp.asarray(
+        np.random.default_rng(0).uniform(-10, 10, size=(B, 2)).astype("f4")
+    )
+    cfg = ilqr.ILQRConfig(atol=1e-4, max_iterations=50, use_pallas=True)
+    fn = lambda: float(jnp.sum(
+        ilqr.solve_batch(env, x0, horizon=100, config=cfg).total_cost
+    ))
+    solves = _throughput(fn, B, 1.0 if quick else 3.0)
+    res = ilqr.solve_batch(env, x0, horizon=100, config=cfg)
+    _report(2, f"iLQR nonlinear-nav T=100 B={B}", solves, "solves/s",
+            {"frac_converged": float(jnp.mean(res.converged.astype("f4")))})
+
+
+def config3_hvac(quick: bool):
+    from tfmpc_tpu.models.hvac import make_hvac
+    from tfmpc_tpu.solvers import ilqr
+
+    adj = [
+        [0, 1, 0, 0, 0, 1], [1, 0, 1, 0, 0, 0], [0, 1, 0, 1, 0, 0],
+        [0, 0, 1, 0, 1, 0], [0, 0, 0, 1, 0, 1], [1, 0, 0, 0, 1, 0],
+    ]
+    env = make_hvac(adj, is_out=[1, 0, 0, 1, 0, 0], is_hall=[0, 1, 0, 0, 1, 0])
+    B = 256 if quick else 2048
+    x0 = jnp.asarray(
+        np.random.default_rng(0).uniform(8, 18, size=(B, 6)).astype("f4")
+    )
+    cfg = ilqr.ILQRConfig(
+        atol=1e-3, max_iterations=30, boxqp=True, use_pallas=True
+    )
+    fn = lambda: float(jnp.sum(
+        ilqr.solve_batch(env, x0, horizon=100, config=cfg).total_cost
+    ))
+    solves = _throughput(fn, B, 1.0 if quick else 3.0)
+    res = ilqr.solve_batch(env, x0, horizon=100, config=cfg)
+    _report(3, f"iLQR HVAC-6 boxQP T=100 B={B}", solves, "solves/s",
+            {"frac_converged": float(jnp.mean(res.converged.astype("f4")))})
+
+
+def config4_reservoir_t500(quick: bool):
+    from tfmpc_tpu.models.reservoir import make_reservoir
+    from tfmpc_tpu.solvers import ilqr
+
+    env = make_reservoir(5)
+    B = 128 if quick else 1024
+    x0 = jnp.asarray(
+        np.random.default_rng(0).uniform(20, 95, size=(B, 5)).astype("f4")
+    )
+    cfg = ilqr.ILQRConfig(
+        atol=1e-3, max_iterations=30, boxqp=True, use_pallas=True
+    )
+    fn = lambda: float(jnp.sum(
+        ilqr.solve_batch(env, x0, horizon=500, config=cfg).total_cost
+    ))
+    solves = _throughput(fn, B, 1.0 if quick else 3.0)
+    res = ilqr.solve_batch(env, x0, horizon=500, config=cfg)
+    _report(4, f"iLQR reservoir-5 boxQP T=500 B={B}", solves, "solves/s",
+            {"frac_converged": float(jnp.mean(res.converged.astype("f4")))})
+
+    # Latency variant: single scenario, associative-scan (O(log T)) backward.
+    x1 = x0[:1]
+    for label, pcfg in [
+        ("sequential", ilqr.ILQRConfig(atol=1e-3, max_iterations=30)),
+        ("parallel-scan", ilqr.ILQRConfig(
+            atol=1e-3, max_iterations=30, parallel_backward=True)),
+    ]:
+        f1 = lambda: float(jnp.sum(
+            ilqr.solve_batch(env, x1, horizon=500, config=pcfg).total_cost
+        ))
+        f1()
+        t0 = time.perf_counter()
+        reps = 0
+        while time.perf_counter() - t0 < (1.0 if quick else 2.0) and reps < 20:
+            f1()
+            reps += 1
+        ms = (time.perf_counter() - t0) / reps * 1e3
+        _report(4, f"reservoir-5 T=500 single-solve latency ({label} backward)",
+                ms, "ms")
+
+
+def config5_sharded(quick: bool):
+    from tfmpc_tpu.models.navigation import make_navigation
+    from tfmpc_tpu.parallel import mesh as pmesh
+    from tfmpc_tpu.solvers import ilqr
+
+    n_dev = len(jax.devices())
+    env = make_navigation(
+        goal=[8.0, -5.0],
+        deceleration={"center": [[3.0, -2.0]], "decay": [2.0]},
+    )
+    B = (512 if quick else 4096) // n_dev * n_dev
+    x0 = jnp.asarray(
+        np.random.default_rng(0).uniform(-10, 10, size=(B, 2)).astype("f4")
+    )
+    cfg = ilqr.ILQRConfig(atol=1e-4, max_iterations=50, use_pallas=True)
+    mesh = pmesh.make_mesh(n_dev)
+    fn = lambda: float(jnp.sum(pmesh.solve_ilqr_sharded(
+        env, x0, horizon=100, config=cfg, mesh=mesh
+    ).total_cost))
+    solves = _throughput(fn, B, 1.0 if quick else 3.0)
+    _report(5, f"iLQR nav T=100 B={B} sharded over {n_dev} device(s)",
+            solves, "solves/s", {"devices": n_dev})
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="small batches / short timing windows")
+    args = ap.parse_args()
+    for fn in (config1_lqr_linear_nav, config2_nav_ilqr, config3_hvac,
+               config4_reservoir_t500, config5_sharded):
+        fn(args.quick)
+
+
+if __name__ == "__main__":
+    main()
