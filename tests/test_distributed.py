@@ -82,3 +82,27 @@ class TestShardedSolve:
         assert stats["num_converged"] == B
         assert stats["frac_converged"] == 1.0
         assert np.isfinite(stats["mean_cost"])
+
+    def test_sharded_trace(self, mesh8, env):
+        """Trace rows come back [I, B] with B sharded like the result."""
+        import numpy as np
+        from tfmpc_tpu.parallel import mesh as pmesh
+        from tfmpc_tpu.solvers import ilqr as ilqr_mod
+
+        x0 = jnp.asarray(
+            np.random.default_rng(2).uniform(-5, 5, size=(16, 2)).astype("f4")
+        )
+        config = ilqr_mod.ILQRConfig(atol=1e-4, max_iterations=8)
+        res_s, trace_s = pmesh.solve_ilqr_sharded(
+            env, x0, horizon=10, config=config, mesh=mesh8, return_trace=True
+        )
+        res_u, trace_u = ilqr_mod.solve_batch(
+            env, x0, horizon=10, config=config, return_trace=True
+        )
+        assert trace_s.J.shape == (8, 16)
+        np.testing.assert_allclose(
+            np.asarray(trace_s.J), np.asarray(trace_u.J), rtol=1e-5, atol=1e-4
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_s.converged), np.asarray(res_u.converged)
+        )

@@ -219,9 +219,25 @@ def ilqr(env_path, horizon, atol, max_iterations, x0_json, num_samples,
             f"--num-samples {num_samples} must be divisible by the device "
             f"count {n_dev} (pass --num-workers to change it)"
         )
-    result = pmesh.solve_ilqr_sharded(
-        env, jnp.asarray(x0_batch), horizon=horizon, config=config, mesh=mesh
-    )
+    if trace_iters:
+        result, trace = pmesh.solve_ilqr_sharded(
+            env, jnp.asarray(x0_batch), horizon=horizon, config=config,
+            mesh=mesh, return_trace=True,
+        )
+        J = np.asarray(trace.J)
+        conv = np.asarray(trace.converged)
+        mu_tr = np.asarray(trace.mu)
+        upto = int(np.max(np.asarray(result.iterations)))
+        for i in range(min(upto, J.shape[0])):
+            logger.info(
+                "iteration=%d mean_cost=%.6f frac_converged=%.3f mean_mu=%.3e",
+                i, J[i].mean(), conv[i].mean(), mu_tr[i].mean(),
+            )
+    else:
+        result = pmesh.solve_ilqr_sharded(
+            env, jnp.asarray(x0_batch), horizon=horizon, config=config,
+            mesh=mesh,
+        )
     stats = jax.device_get(pmesh.summarize(result))
     click.echo(
         f"solved {num_samples} scenarios on {n_dev} device(s): "

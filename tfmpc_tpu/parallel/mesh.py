@@ -69,20 +69,27 @@ def replicate(tree, mesh: Mesh):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("horizon", "config", "mesh"))
-def _solve_batch_sharded(env, x0, horizon, config, mesh):
+@functools.partial(
+    jax.jit, static_argnames=("horizon", "config", "mesh", "return_trace")
+)
+def _solve_batch_sharded(env, x0, horizon, config, mesh, return_trace=False):
     # shard_map (not GSPMD auto-partitioning): scenarios are embarrassingly
     # parallel, every device runs the full batched solve on its local B/D
     # shard — this is also what lets the Pallas kernels run per-device
     # (a pallas_call does not auto-partition under GSPMD).
     fn = lambda env_, x0_: _ilqr.solve_batch(
-        env_, x0_, horizon=horizon, config=config
+        env_, x0_, horizon=horizon, config=config, return_trace=return_trace
     )
+    if return_trace:
+        # result sharded on axis 0, trace rows on axis 1 ([I, B] layout)
+        out_specs = (P(DATA_AXIS), P(None, DATA_AXIS))
+    else:
+        out_specs = P(DATA_AXIS)
     mapped = jax.shard_map(
         fn,
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS)),
-        out_specs=P(DATA_AXIS),
+        out_specs=out_specs,
         # No cross-shard communication exists in the solve (scenarios are
         # independent); varying-axis inference trips on scalar literals in
         # scan carries, so the check is disabled.
@@ -98,16 +105,22 @@ def solve_ilqr_sharded(
     horizon: int,
     config: _ilqr.ILQRConfig = _ilqr.ILQRConfig(),
     mesh: Optional[Mesh] = None,
-) -> _ilqr.ILQRResult:
+    return_trace: bool = False,
+):
     """Data-parallel batched iLQR: shard ``x0 [B, n]`` over the mesh and run
     the fully-on-device batched solve; trajectories stay sharded on their
     home devices (BASELINE config 5: 4096-scenario multi-host batch).
+
+    ``return_trace=True`` additionally returns per-iteration ``ILQRTrace``
+    statistics ([I, B], sharded on the batch axis like the result).
     """
     if mesh is None:
         mesh = make_mesh()
     env = replicate(env, mesh)
     x0 = shard_batch(x0, mesh)
-    return _solve_batch_sharded(env, x0, horizon, config, mesh)
+    return _solve_batch_sharded(
+        env, x0, horizon, config, mesh, return_trace=return_trace
+    )
 
 
 @jax.jit
