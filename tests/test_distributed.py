@@ -106,3 +106,26 @@ class TestShardedSolve:
         np.testing.assert_array_equal(
             np.asarray(res_s.converged), np.asarray(res_u.converged)
         )
+
+    def test_time_sharded_parallel_riccati(self, mesh8):
+        """Horizon-axis sharding of the associative-scan Riccati (the
+        sequence-parallel analogue, SURVEY §2.3 SP row): sharded solve ==
+        single-device sequential solve."""
+        import numpy as np
+        from tfmpc_tpu.models.problems import make_lqr
+        from tfmpc_tpu.parallel import mesh as pmesh
+        from tfmpc_tpu.solvers import lqr
+
+        problem = make_lqr(jax.random.PRNGKey(3), 4, 2, horizon=64)
+        x0 = jnp.asarray([1.0, -2.0, 0.5, 0.0], jnp.float32)
+
+        mesh2 = pmesh.make_mesh_2d(2, 4)
+        s_sh, a_sh, c_sh = pmesh.solve_lqr_time_sharded(problem, x0, mesh=mesh2)
+        s_seq, a_seq, c_seq = lqr.solve(problem, x0)
+
+        np.testing.assert_allclose(
+            np.asarray(a_sh), np.asarray(a_seq), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            float(jnp.sum(c_sh)), float(jnp.sum(c_seq)), rtol=1e-5
+        )

@@ -30,6 +30,7 @@ from tfmpc_tpu.models.base import Env
 from tfmpc_tpu.solvers import ilqr as _ilqr
 
 DATA_AXIS = "data"
+TIME_AXIS = "time"
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -140,6 +141,52 @@ def summarize(result: _ilqr.ILQRResult):
         "max_iterations": jnp.max(result.iterations),
         "mean_mu": jnp.mean(result.mu),
     }
+
+
+def make_mesh_2d(n_data: int, n_time: int, devices=None) -> Mesh:
+    """2-D ``("data", "time")`` mesh for horizon-axis sharding.
+
+    The "time" axis is this workload's sequence-parallel analogue (SURVEY
+    §2.3 SP row): the associative-scan Riccati composes value-function
+    elements along the horizon, so its [T, ...] operands can be sharded over
+    a mesh axis — XLA inserts the log-depth collectives of the parallel
+    composition automatically (GSPMD). Used for very long horizons
+    (reservoir T=500 config) where a single chip's scan depth dominates.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[: n_data * n_time]).reshape(n_data, n_time)
+    return Mesh(devices, (DATA_AXIS, TIME_AXIS))
+
+
+def shard_problem_time(problem, mesh: Mesh):
+    """Place an ``LQRProblem``'s time-indexed tensors sharded over "time"."""
+    import dataclasses
+
+    tshard = NamedSharding(mesh, P(TIME_AXIS))
+    rep = NamedSharding(mesh, P())
+    put_t = lambda a: jax.device_put(a, tshard)
+    put_r = lambda a: None if a is None else jax.device_put(a, rep)
+    return dataclasses.replace(
+        problem,
+        F=put_t(problem.F), f=put_t(problem.f),
+        C=put_t(problem.C), c=put_t(problem.c),
+        C_f=put_r(problem.C_f), c_f=put_r(problem.c_f),
+    )
+
+
+def solve_lqr_time_sharded(problem, x0, mesh: Optional[Mesh] = None):
+    """LQR solve with the associative-scan backward sharded over the horizon.
+
+    Exact same result as the single-device solve (tests pin this); the
+    parallel composition's collectives ride the mesh's ICI links.
+    """
+    from tfmpc_tpu.solvers import lqr as _lqr
+
+    if mesh is None:
+        mesh = make_mesh_2d(1, len(jax.devices()))
+    problem = shard_problem_time(problem, mesh)
+    return _lqr.solve(problem, x0, parallel=True)
 
 
 def init_multihost(**kwargs) -> None:
