@@ -91,3 +91,16 @@ class TestILQRCommand:
         )
         assert result.exit_code != 0
         assert "divisible" in result.output
+
+
+class TestLQRBatched:
+    def test_num_samples(self, runner, tmp_path):
+        logdir = str(tmp_path / "out")
+        result = runner.invoke(
+            cli, ["lqr", "-n", "2", "-m", "1", "-T", "5",
+                  "--num-samples", "4", "--logdir", logdir],
+        )
+        assert result.exit_code == 0, result.output
+        assert "solved 4 initial states" in result.output
+        for i in range(4):
+            assert (tmp_path / "out" / f"trajectory_{i}.csv").exists()

@@ -112,3 +112,24 @@ class TestSolve:
             below = np.maximum(20.0 - np.asarray(res.states), 0.0).sum()
             finals.append(below)
         assert finals[1] < finals[0]
+
+
+class TestLargeInstance:
+    def test_twelve_rooms_falls_back_and_solves(self):
+        """R=12 exceeds the Pallas kernels' n,m<=8 lane layout; use_pallas
+        must silently fall back to the scan/XLA paths and still solve."""
+        R = 12
+        adj = np.zeros((R, R))
+        for i in range(R - 1):
+            adj[i, i + 1] = adj[i + 1, i] = 1.0
+        env = make_hvac(adj, is_out=[1] + [0] * (R - 1))
+        x0 = jnp.asarray(np.full(R, 10.0), jnp.float32)[None].repeat(4, axis=0)
+        cfg = ilqr.ILQRConfig(
+            atol=1e-3, max_iterations=25, boxqp=True, use_pallas=True
+        )
+        res = ilqr.solve_batch(env, x0, horizon=15, config=cfg)
+        assert bool(np.asarray(res.converged).all()), (
+            np.asarray(res.failed), np.asarray(res.residual)
+        )
+        u = np.asarray(res.actions)
+        assert u.min() >= -1e-6 and u.max() <= 10.0 + 1e-4

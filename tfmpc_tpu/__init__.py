@@ -22,8 +22,10 @@ from tfmpc_tpu.models.navigation import Navigation, make_navigation
 from tfmpc_tpu.models.problems import make_lqr, make_lqr_linear_navigation
 from tfmpc_tpu.models.registry import load_env, make_env
 from tfmpc_tpu.models.reservoir import Reservoir, make_reservoir
-from tfmpc_tpu.solvers import ilqr, lqr
-from tfmpc_tpu.solvers.ilqr import ILQRConfig, ILQRResult
+from tfmpc_tpu.solvers import ilqr, lqr, mpc
+from tfmpc_tpu.solvers.ilqr import ILQRConfig, ILQRResult, ILQRTrace
+from tfmpc_tpu.solvers.ilqr_batched import SolverState, state_from_result
+from tfmpc_tpu.utils import checkpoint
 from tfmpc_tpu.utils.trajectory import Trajectory
 
 __version__ = "0.1.0"
@@ -34,6 +36,8 @@ __all__ = [
     "HVAC",
     "ILQRConfig",
     "ILQRResult",
+    "ILQRTrace",
+    "SolverState",
     "LQRProblem",
     "LinearModel",
     "Navigation",
@@ -43,10 +47,13 @@ __all__ = [
     "Reservoir",
     "Trajectory",
     "ValueFunction",
+    "checkpoint",
     "ilqr",
     "load_env",
     "lqr",
     "make_env",
+    "mpc",
+    "state_from_result",
     "make_hvac",
     "make_lqr",
     "make_lqr_linear_navigation",

@@ -87,8 +87,12 @@ def _save_trajectories(result, logdir, num_samples):
 @click.option("--x0-scale", default=1.0, show_default=True, help="Std of the random initial state.")
 @click.option("--parallel/--sequential", default=False, show_default=True,
               help="Use the O(log T) associative-scan Riccati backward pass.")
+@click.option("--num-samples", default=1, show_default=True,
+              help="Batch of random initial states rolled under the one "
+                   "optimal policy (LQR gains are state-independent).")
 @click.option("--logdir", type=click.Path(), default=None, help="Write trajectory CSVs here.")
-def lqr(state_size, action_size, horizon, seed, x0_scale, parallel, logdir):
+def lqr(state_size, action_size, horizon, seed, x0_scale, parallel,
+        num_samples, logdir):
     """Generate a random LQR problem and solve it exactly.
 
     Reference analogue: ``tfmpc lqr`` (SURVEY §3.2).
@@ -103,12 +107,26 @@ def lqr(state_size, action_size, horizon, seed, x0_scale, parallel, logdir):
     key = jax.random.PRNGKey(seed)
     kp, kx = jax.random.split(key)
     problem = make_lqr(kp, state_size, action_size, horizon)
-    x0 = x0_scale * jax.random.normal(kx, (state_size,))
 
     logger.info(
         "solving LQR n=%d m=%d T=%d on %s", state_size, action_size, horizon,
         jax.devices()[0].platform,
     )
+    if num_samples > 1:
+        x0 = x0_scale * jax.random.normal(kx, (num_samples, state_size))
+        states, actions, costs = lqr_solver.solve(problem, x0, parallel=parallel)
+        total = costs.sum(axis=1)
+        click.echo(
+            f"solved {num_samples} initial states: "
+            f"mean_cost={float(total.mean()):.6f} max_cost={float(total.max()):.6f}"
+        )
+        for p in _save_trajectories((states, actions, costs), logdir, num_samples):
+            logger.info("trajectory saved to %s", p)
+        if logdir:
+            click.echo(f"{num_samples} trajectories saved to {logdir}")
+        return
+
+    x0 = x0_scale * jax.random.normal(kx, (state_size,))
     states, actions, costs = lqr_solver.solve(problem, x0, parallel=parallel)
     tr = Trajectory(states, actions, costs)
     click.echo(repr(tr))
