@@ -168,3 +168,21 @@ def test_solve_batch_fused_matches_xla(name, rng):
     assert (
         np.asarray(res_fused.converged) == np.asarray(res_xla.converged)
     ).mean() > 0.95
+
+
+def test_time_blocked_costs_match_per_step(rng):
+    """TB>1 (the TPU pipelining layout) is a pure reindexing of TB=1."""
+    env = ENVS["navigation"]
+    B, T = 128, 4
+    n = m = 2
+    x0 = _x0_batch(env, B, rng)
+    U = jnp.asarray(rng.uniform(-1, 1, size=(B, T, m)).astype("f4"))
+    X, _ = jax.vmap(env.rollout)(x0, U)
+    policy = Policy(
+        K=jnp.asarray(0.05 * rng.standard_normal((B, T, m, n)).astype("f4")),
+        k=jnp.asarray(0.1 * rng.standard_normal((B, T, m)).astype("f4")),
+    )
+    alphas = (1.0, 0.5)
+    J1 = linesearch_costs_pallas(env, X, U, policy, alphas, time_block=1)
+    J2 = linesearch_costs_pallas(env, X, U, policy, alphas, time_block=2)
+    np.testing.assert_allclose(np.asarray(J2), np.asarray(J1), rtol=1e-6)

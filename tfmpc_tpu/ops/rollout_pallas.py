@@ -51,8 +51,31 @@ def _choose_bb(B: int) -> int:
     return BB
 
 
-def _costs_kernel(T, n, m, A, alphas, step_fn, final_fn, treedef, orig_leaves,
-                  n_params, has_bounds):
+def _choose_tb(T: int, limit: int = 10) -> int:
+    """Largest divisor of T up to ``limit``: timesteps per grid step.
+
+    The per-timestep body is a few hundred vector ops; at grid=(nb, T) the
+    fixed per-grid-step cost (block handoff, scalar setup) dominates.
+    Time-blocking amortizes it and keeps the rollout state in registers
+    across the block instead of round-tripping scratch every step
+    (measured +20% end-to-end on the navigation headline).
+
+    A TPU-pipelining optimization only: in interpret mode (CPU tests) the
+    TB-times-bigger unrolled body just multiplies trace/compile time, so
+    default to 1 there (tests pin TB>1 parity explicitly via the
+    ``time_block`` override).
+    """
+    if jax.default_backend() == "cpu":
+        return 1
+    tb = 1
+    for c in range(2, limit + 1):
+        if T % c == 0:
+            tb = c
+    return tb
+
+
+def _costs_kernel(T, TB, n, m, A, alphas, step_fn, final_fn, treedef,
+                  orig_leaves, n_params, has_bounds):
     def kernel(*refs):
         (xbar_ref, ubar_ref, K_ref, k_ref) = refs[:4]
         idx = 4
@@ -72,38 +95,47 @@ def _costs_kernel(T, n, m, A, alphas, step_fn, final_fn, treedef, orig_leaves,
                 x_s[a * n:(a + 1) * n, :] = xbar_ref[0, :, :]
             J_s[:, :] = jnp.zeros_like(J_s)
 
-        xbar = xbar_ref[0, :, :]          # [n, BB]
-        ubar = ubar_ref[0, :, :]          # [m, BB]
-        K = K_ref[0, :, :]                # [mn, BB]
-        kv = k_ref[0, :, :]               # [m, BB]
+        # block state lives in registers across the TB steps
+        xs = [x_s[a * n:(a + 1) * n, :] for a in range(A)]
+        Js = [J_s[a, :] for a in range(A)]
+
+        for tl in range(TB):
+            xbar = xbar_ref[tl, :, :]          # [n, BB]
+            ubar = ubar_ref[tl, :, :]          # [m, BB]
+            K = K_ref[tl, :, :]                # [mn, BB]
+            kv = k_ref[tl, :, :]               # [m, BB]
+
+            for a in range(A):
+                x = xs[a]
+                dx = [x[i] - xbar[i] for i in range(n)]
+                u_rows = []
+                for b in range(m):
+                    u = ubar[b] + alphas[a] * kv[b]
+                    u = u + sum(K[b * n + i] * dx[i] for i in range(n))
+                    if has_bounds:
+                        u = jnp.clip(u, lo_ref[b, 0], hi_ref[b, 0])
+                    u_rows.append(u)
+                u_mat = jnp.stack(u_rows)
+                x_next, cost = step_fn(params, x, u_mat)
+                Jrow = Js[a] + cost
+                if final_fn is not None and tl == TB - 1:
+                    # add the final cost exactly once, at the last timestep
+                    Jrow = jnp.where(
+                        t == T // TB - 1, Jrow + final_fn(params, x_next),
+                        Jrow,
+                    )
+                Js[a] = Jrow
+                xs[a] = x_next
 
         for a in range(A):
-            x = x_s[a * n:(a + 1) * n, :]
-            dx = [x[i] - xbar[i] for i in range(n)]
-            u_rows = []
-            for b in range(m):
-                u = ubar[b] + alphas[a] * kv[b]
-                u = u + sum(K[b * n + i] * dx[i] for i in range(n))
-                if has_bounds:
-                    u = jnp.clip(u, lo_ref[b, 0], hi_ref[b, 0])
-                u_rows.append(u)
-            u_mat = jnp.stack(u_rows)
-            x_next, cost = step_fn(params, x, u_mat)
-            Jrow = J_s[a, :] + cost
-            if final_fn is not None:
-                # add the final cost exactly once, at the last timestep
-                Jrow = jnp.where(
-                    t == T - 1, Jrow + final_fn(params, x_next), Jrow
-                )
-            J_s[a, :] = Jrow
-            x_s[a * n:(a + 1) * n, :] = x_next
-
+            x_s[a * n:(a + 1) * n, :] = xs[a]
+            J_s[a, :] = Js[a]
         J_ref[:, :] = J_s[:, :]
 
     return kernel
 
 
-def _materialize_kernel(T, n, m, step_fn, final_fn, treedef, orig_leaves,
+def _materialize_kernel(T, TB, n, m, step_fn, final_fn, treedef, orig_leaves,
                         n_params, has_bounds):
     def kernel(*refs):
         (alpha_ref, xbar_ref, ubar_ref, K_ref, k_ref) = refs[:5]
@@ -124,46 +156,52 @@ def _materialize_kernel(T, n, m, step_fn, final_fn, treedef, orig_leaves,
             J_s[:, :] = jnp.zeros_like(J_s)
 
         alpha = alpha_ref[0, :]
-        xbar = xbar_ref[0, :, :]
-        ubar = ubar_ref[0, :, :]
-        K = K_ref[0, :, :]
-        kv = k_ref[0, :, :]
-
         x = x_s[:, :]
-        dx = [x[i] - xbar[i] for i in range(n)]
-        u_rows = []
-        for b in range(m):
-            u = ubar[b] + alpha * kv[b]
-            u = u + sum(K[b * n + i] * dx[i] for i in range(n))
-            if has_bounds:
-                u = jnp.clip(u, lo_ref[b, 0], hi_ref[b, 0])
-            u_rows.append(u)
-        u_mat = jnp.stack(u_rows)
-        x_next, cost = step_fn(params, x, u_mat)
-        Jrow = J_s[0, :] + cost
-        if final_fn is not None:
-            Jrow = jnp.where(t == T - 1, Jrow + final_fn(params, x_next), Jrow)
-        J_s[0, :] = Jrow
-        x_s[:, :] = x_next
+        Jrow = J_s[0, :]
 
-        X_ref[0, :, :] = x_next
-        U_ref[0, :, :] = u_mat
+        for tl in range(TB):
+            xbar = xbar_ref[tl, :, :]
+            ubar = ubar_ref[tl, :, :]
+            K = K_ref[tl, :, :]
+            kv = k_ref[tl, :, :]
+
+            dx = [x[i] - xbar[i] for i in range(n)]
+            u_rows = []
+            for b in range(m):
+                u = ubar[b] + alpha * kv[b]
+                u = u + sum(K[b * n + i] * dx[i] for i in range(n))
+                if has_bounds:
+                    u = jnp.clip(u, lo_ref[b, 0], hi_ref[b, 0])
+                u_rows.append(u)
+            u_mat = jnp.stack(u_rows)
+            x_next, cost = step_fn(params, x, u_mat)
+            Jrow = Jrow + cost
+            if final_fn is not None and tl == TB - 1:
+                Jrow = jnp.where(
+                    t == T // TB - 1, Jrow + final_fn(params, x_next), Jrow
+                )
+            X_ref[tl, :, :] = x_next
+            U_ref[tl, :, :] = u_mat
+            x = x_next
+
+        x_s[:, :] = x
+        J_s[0, :] = Jrow
         J_ref[:, :] = J_s[:, :]
 
     return kernel
 
 
-def _common_specs(T, n, m, BB, has_bounds, param_arrays):
+def _common_specs(T, TB, n, m, BB, has_bounds, param_arrays):
     tmap = lambda bi, t: (t, 0, bi)
     bmap2 = lambda bi, t: (0, bi)
     pspec = lambda arr: pl.BlockSpec(
         arr.shape, lambda bi, t: (0,) * arr.ndim, memory_space=pltpu.VMEM
     )
     in_specs = [
-        pl.BlockSpec((1, n, BB), tmap, memory_space=pltpu.VMEM),   # xbar
-        pl.BlockSpec((1, m, BB), tmap, memory_space=pltpu.VMEM),   # ubar
-        pl.BlockSpec((1, m * n, BB), tmap, memory_space=pltpu.VMEM),  # K
-        pl.BlockSpec((1, m, BB), tmap, memory_space=pltpu.VMEM),   # k
+        pl.BlockSpec((TB, n, BB), tmap, memory_space=pltpu.VMEM),   # xbar
+        pl.BlockSpec((TB, m, BB), tmap, memory_space=pltpu.VMEM),   # ubar
+        pl.BlockSpec((TB, m * n, BB), tmap, memory_space=pltpu.VMEM),  # K
+        pl.BlockSpec((TB, m, BB), tmap, memory_space=pltpu.VMEM),   # k
     ]
     if has_bounds:
         in_specs += [
@@ -174,7 +212,8 @@ def _common_specs(T, n, m, BB, has_bounds, param_arrays):
     return in_specs, bmap2
 
 
-def linesearch_costs_pallas(env, X, U, policy, alphas) -> jax.Array:
+def linesearch_costs_pallas(env, X, U, policy, alphas,
+                            time_block=None) -> jax.Array:
     """Total cost of the closed-loop rollout for every (scenario, alpha).
 
     X: [B, T+1, n], U: [B, T, m], policy.K: [B, T, m, n], policy.k: [B, T, m],
@@ -199,17 +238,18 @@ def linesearch_costs_pallas(env, X, U, policy, alphas) -> jax.Array:
     has_bounds = env.bounds is not None
     BB = _choose_bb(B)
     nb = B // BB
+    TB = _choose_tb(T) if time_block is None else time_block
 
-    in_specs, bmap2 = _common_specs(T, n, m, BB, has_bounds, leaves2d)
+    in_specs, bmap2 = _common_specs(T, TB, n, m, BB, has_bounds, leaves2d)
     inputs = [xbar, ubar, Kk, kk]
     if has_bounds:
         inputs += [env.bounds.low.reshape(m, 1), env.bounds.high.reshape(m, 1)]
     inputs += leaves2d
 
     J = pl.pallas_call(
-        _costs_kernel(T, n, m, A, alphas_t, step_fn, final_fn, treedef,
+        _costs_kernel(T, TB, n, m, A, alphas_t, step_fn, final_fn, treedef,
                       orig_leaves, len(leaves2d), has_bounds),
-        grid=(nb, T),
+        grid=(nb, T // TB),
         in_specs=in_specs,
         out_specs=[pl.BlockSpec((A, BB), bmap2, memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((A, B), X.dtype)],
@@ -246,8 +286,13 @@ def rollout_alpha_pallas(env, X, U, policy, alpha_vec):
     has_bounds = env.bounds is not None
     BB = _choose_bb(B)
     nb = B // BB
+    # TB=1: time-blocking measured a 6.5x REGRESSION here (1.29 -> 8.4 ms at
+    # B=4096, T=100) while winning on the costs kernel — the multi-row
+    # (TB, n, BB) output blocks defeat Mosaic's write pipelining. Keep the
+    # trajectory-materializing kernel per-step.
+    TB = 1
 
-    in_specs, bmap2 = _common_specs(T, n, m, BB, has_bounds, leaves2d)
+    in_specs, bmap2 = _common_specs(T, TB, n, m, BB, has_bounds, leaves2d)
     in_specs = [pl.BlockSpec((1, BB), bmap2, memory_space=pltpu.VMEM)] + in_specs
     inputs = [alpha2, xbar, ubar, Kk, kk]
     if has_bounds:
@@ -256,13 +301,13 @@ def rollout_alpha_pallas(env, X, U, policy, alpha_vec):
 
     tmap = lambda bi, t: (t, 0, bi)
     X_out, U_out, J = pl.pallas_call(
-        _materialize_kernel(T, n, m, step_fn, final_fn, treedef, orig_leaves,
-                            len(leaves2d), has_bounds),
-        grid=(nb, T),
+        _materialize_kernel(T, TB, n, m, step_fn, final_fn, treedef,
+                            orig_leaves, len(leaves2d), has_bounds),
+        grid=(nb, T // TB),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, n, BB), tmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, BB), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, n, BB), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, m, BB), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BB), bmap2, memory_space=pltpu.VMEM),
         ],
         out_shape=[
