@@ -18,6 +18,7 @@ from tfmpc_tpu.core.types import (
 )
 from tfmpc_tpu.models.base import Env
 from tfmpc_tpu.models.hvac import HVAC, make_hvac
+from tfmpc_tpu.models.linear import LinearSystem, make_linear_system
 from tfmpc_tpu.models.navigation import Navigation, make_navigation
 from tfmpc_tpu.models.problems import make_lqr, make_lqr_linear_navigation
 from tfmpc_tpu.models.registry import load_env, make_env
@@ -40,6 +41,7 @@ __all__ = [
     "SolverState",
     "LQRProblem",
     "LinearModel",
+    "LinearSystem",
     "Navigation",
     "Policy",
     "QuadraticFinal",
@@ -55,6 +57,7 @@ __all__ = [
     "mpc",
     "state_from_result",
     "make_hvac",
+    "make_linear_system",
     "make_lqr",
     "make_lqr_linear_navigation",
     "make_navigation",

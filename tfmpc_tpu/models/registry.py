@@ -63,6 +63,16 @@ def _make_reservoir_cfg(config: Dict[str, Any], dtype=jnp.float32) -> Env:
     return make_reservoir(dtype=dtype, **kwargs)
 
 
+@register("linear")
+def _make_linear_cfg(config: Dict[str, Any], dtype=jnp.float32) -> Env:
+    from tfmpc_tpu.models.linear import make_linear_system
+
+    kwargs = {
+        k: v for k, v in config.items() if k not in _NON_ENV_KEYS + ("A", "B")
+    }
+    return make_linear_system(config["A"], config["B"], dtype=dtype, **kwargs)
+
+
 def make_env(config: Dict[str, Any], dtype=jnp.float32) -> Env:
     """Construct an env from a config dict: ``{"name": ..., <env kwargs>}``.
 
