@@ -135,3 +135,35 @@ class TestILQRMatchesLQR:
         clipped = jnp.clip(res_free.actions, -0.5, 0.5)
         J_clip = float(env.total_cost(x0, clipped))
         assert float(res.total_cost) <= J_clip + 1e-4
+
+
+@pytest.mark.parametrize("seed,n,m", [(0, 3, 2), (1, 4, 1), (2, 2, 3)])
+def test_ilqr_matches_lqr_on_random_systems(seed, n, m):
+    """Property: on ANY stable-ish random linear-quadratic system, iLQR
+    reproduces the closed-form LQR optimum (random n, m combinations,
+    including m > n)."""
+    rng = np.random.default_rng(seed)
+    A = np.eye(n) + 0.1 * rng.standard_normal((n, n))
+    A = A / max(1.0, np.max(np.abs(np.linalg.eigvals(A))))  # spectral radius <= 1
+    B = rng.standard_normal((n, m))
+    L = rng.standard_normal((n, n))
+    Q = L @ L.T / n + 0.1 * np.eye(n)
+    Lr = rng.standard_normal((m, m))
+    R = Lr @ Lr.T / m + 0.1 * np.eye(m)
+    env = make_linear_system(A=A, B=B, Q=Q, R=R, c=0.1 * rng.standard_normal(n))
+
+    T = 25
+    x0 = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    _, actions_l, costs_l = lqr.solve(env.to_lqr_problem(T), x0)
+    res = ilqr.solve(
+        env, x0, horizon=T,
+        config=ilqr.ILQRConfig(atol=1e-12, max_iterations=50),
+    )
+    assert bool(res.converged)
+    np.testing.assert_allclose(
+        np.asarray(res.actions), np.asarray(actions_l), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(res.total_cost), float(jnp.sum(costs_l)),
+        rtol=1e-5, atol=1e-5,
+    )
