@@ -338,7 +338,13 @@ def _riccati_pallas_raw(fx, fu, lx, lu, lxx, luu, lux, mu, VT, vT,
     T, nn, B = fx.shape
     n = int(round(nn ** 0.5))
     m = fu.shape[1] // n
-    BB = B if B <= 2048 else 2048
+    # Scoped-VMEM stack scales with the per-step working set (~(n+m)^2
+    # entries x lanes); cap the lane block so it stays under the ~16M limit.
+    d2 = (n + m) * (n + m)
+    cap = 2048 if d2 <= 64 else (1024 if d2 <= 256 else 512)
+    if boxqp_iters > 0:
+        cap = min(cap, 1024 if d2 <= 64 else 512)
+    BB = B if B <= cap else cap
     while B % BB:
         BB //= 2
     nb = B // BB

@@ -122,7 +122,12 @@ def _use_pallas_riccati(lin, config: ILQRConfig, bounds) -> bool:
     m = lin.f_u.shape[-1]
     # Lane-aligned batches only: the kernel lays B along the 128-wide vector
     # lanes; ragged batches fall back to the (correct, slower) scan.
-    return n <= 8 and m <= 8 and B % 128 == 0
+    # Dim limit: the unrolled body scales O((n+m)^3); up to 12 it compiles
+    # in ~2 min on TPU and measured 134x over the scan (HVAC-12 boxqp,
+    # identical converged cost). In interpret mode (CPU tests) tracing such
+    # bodies takes minutes, so the limit stays at 8 there.
+    dim_limit = 8 if jax.default_backend() == "cpu" else 12
+    return n <= dim_limit and m <= dim_limit and B % 128 == 0
 
 
 # Design note (measured on TPU v5e, 2026-08-16): a fully fused
