@@ -67,3 +67,26 @@ def test_closed_loop_cost_tracks_plan(nav_env):
         config=ilqr.ILQRConfig(atol=1e-6, max_iterations=30),
     )
     assert float(res.total_cost) <= float(res.plan_cost[0]) * 1.01 + 1e-3
+
+
+def test_cli_mpc_command(tmp_path):
+    import json
+    from click.testing import CliRunner
+    from tfmpc_tpu.cli import cli
+
+    cfg = {
+        "name": "navigation",
+        "goal": [5.0, 5.0],
+        "deceleration": {"center": [[2.0, 2.0]], "decay": [1.5]},
+        "x0": [0.0, 0.0],
+    }
+    path = tmp_path / "nav.json"
+    path.write_text(json.dumps(cfg))
+    logdir = str(tmp_path / "out")
+    result = CliRunner().invoke(
+        cli, ["mpc", "--env", str(path), "--steps", "12",
+              "--plan-horizon", "6", "--logdir", logdir],
+    )
+    assert result.exit_code == 0, result.output
+    assert "closed-loop total_cost=" in result.output
+    assert (tmp_path / "out" / "mpc_trajectory.csv").exists()

@@ -269,6 +269,77 @@ def ilqr(env_path, horizon, atol, max_iterations, x0_json, num_samples,
         click.echo(f"{num_samples} trajectories saved to {logdir}")
 
 
+@cli.command()
+@click.option("--env", "env_path", type=click.Path(exists=True), required=True,
+              help="JSON env config file.")
+@click.option("--steps", default=50, show_default=True,
+              help="Closed-loop control steps (re-plans).")
+@click.option("--plan-horizon", default=20, show_default=True,
+              help="Horizon of each warm-started re-plan.")
+@click.option("--atol", default=1e-4, show_default=True)
+@click.option("--max-iterations", default=15, show_default=True,
+              help="Per-replan solver budget (warm starts keep this small).")
+@click.option("--x0", "x0_json", default=None,
+              help="Initial state as a JSON list; overrides the config's x0.")
+@click.option("--boxqp/--no-boxqp", "boxqp_flag", default=None,
+              help="Control-limited DDP (default: on for bounded envs).")
+@click.option("--logdir", type=click.Path(), default=None,
+              help="Write the realized closed-loop trajectory CSV here.")
+def mpc(env_path, steps, plan_horizon, atol, max_iterations, x0_json,
+        boxqp_flag, logdir):
+    """Closed-loop receding-horizon MPC from a JSON env config.
+
+    Re-solves a ``--plan-horizon`` iLQR instance each step (warm-started),
+    executes the first action, and advances the true dynamics — one
+    compiled on-device program (solvers/mpc.py). The reference only solves
+    open-loop instances; this is the deployment loop around them.
+    """
+    import jax.numpy as jnp
+
+    from tfmpc_tpu.models.registry import load_env
+    from tfmpc_tpu.solvers import ilqr as ilqr_solver
+    from tfmpc_tpu.solvers import mpc as mpc_solver
+    from tfmpc_tpu.utils.trajectory import Trajectory
+
+    with open(env_path) as f:
+        config_json = json.load(f)
+    env = load_env(env_path)
+    n = env.state_size
+
+    if x0_json is not None:
+        x0 = np.asarray(json.loads(x0_json), dtype=np.float32)
+    elif "x0" in config_json:
+        x0 = np.asarray(config_json["x0"], dtype=np.float32)
+    else:
+        raise click.UsageError("provide --x0 or an x0 in the env config")
+    if x0.shape != (n,):
+        raise click.UsageError(f"x0 must have shape ({n},), got {x0.shape}")
+
+    if boxqp_flag is None:
+        boxqp_flag = env.bounds is not None
+    config = ilqr_solver.ILQRConfig(
+        atol=atol, max_iterations=max_iterations, boxqp=boxqp_flag
+    )
+    res = mpc_solver.run(
+        env, jnp.asarray(x0), steps=steps, plan_horizon=plan_horizon,
+        config=config,
+    )
+    costs = np.concatenate([
+        np.asarray(res.costs),
+        [float(res.total_cost) - float(np.sum(res.costs))],
+    ])
+    tr = Trajectory(np.asarray(res.states), np.asarray(res.actions), costs)
+    click.echo(repr(tr))
+    click.echo(
+        f"closed-loop total_cost={float(res.total_cost):.6f} "
+        f"replans_converged={int(np.asarray(res.converged).sum())}/{steps} "
+        f"mean_replan_iterations={float(np.asarray(res.iterations).mean()):.1f}"
+    )
+    if logdir:
+        path = tr.save(os.path.join(logdir, "mpc_trajectory.csv"))
+        click.echo(f"trajectory saved to {path}")
+
+
 def main() -> None:
     cli()
 
