@@ -76,16 +76,17 @@ class TestKernelParity:
 
     def test_fail_flag_on_indefinite(self, env):
         """Negative-definite l_uu makes Quu non-PD -> per-lane fail flag."""
+        import dataclasses
+
         B, T = 128, 4
         lin, quad, fin = _derivs(env, B, T)
         l_uu_bad = quad.l_uu.at[: B // 2].set(
-            -10.0 * jnp.eye(env.action_size)[None, None]
+            -10.0 * jnp.eye(env.action_size, dtype=quad.l_uu.dtype)[None, None]
         )
-        quad_bad = quad._replace(l_uu=l_uu_bad) if hasattr(quad, "_replace") else None
-        import dataclasses
-
         quad_bad = dataclasses.replace(quad, l_uu=l_uu_bad)
-        ok, _, _, _ = riccati_backward_pallas(lin, quad_bad, fin, jnp.zeros((B,)))
+        ok, _, _, _ = riccati_backward_pallas(
+            lin, quad_bad, fin, jnp.zeros((B,), quad.l_uu.dtype)
+        )
         assert not bool(jnp.any(ok[: B // 2]))
         assert bool(jnp.all(ok[B // 2:]))
 
