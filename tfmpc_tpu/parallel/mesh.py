@@ -52,14 +52,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(x: jax.Array, mesh: Mesh) -> jax.Array:
-    """Place a [B, ...] array sharded over the data axis (B % n_devices == 0)."""
+    """Place a batch array sharded over the data axis.
+
+    Single-process: ``x [B, ...]`` is the global batch (B % n_devices == 0).
+    Multi-process (after ``init_multihost``): each process passes its LOCAL
+    rows — the per-host data feed of SURVEY §7.1 decision 5 — and the global
+    array is assembled across hosts without any data movement.
+    """
+    sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
     B = x.shape[0]
     n = mesh.devices.size
     if B % n != 0:
         raise ValueError(
             f"batch size {B} must be divisible by the {n}-device data axis"
         )
-    return jax.device_put(x, batch_sharding(mesh))
+    return jax.device_put(x, sharding)
 
 
 def replicate(tree, mesh: Mesh):
