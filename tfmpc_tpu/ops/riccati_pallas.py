@@ -156,10 +156,14 @@ def _boxqp_lane(H, q, lo, hi, m, newton_iters, ls_alphas, grad_tol=1e-8):
     return x, free, L_free, fail
 
 
-def _kernel(T: int, n: int, m: int, boxqp_iters: int = 0, ls_alphas: int = 8):
+def _kernel(T: int, n: int, m: int, boxqp_iters: int = 0, ls_alphas: int = 8,
+            TB: int = 1):
     """Kernel body builder; ``boxqp_iters > 0`` selects the control-limited
-    variant (three extra inputs: ubar, lo, hi)."""
-    nn, nm, mn, mm = n * n, n * m, m * n, m * m
+    variant (three extra inputs: ubar, lo, hi). ``TB`` timesteps are
+    processed per grid step (reverse time inside the block); the value
+    function stays in registers across the block and ALL output stores are
+    issued after the sequential chain, which is what keeps time-blocking a
+    win (interleaved per-step stores measured a large regression)."""
     use_boxqp = boxqp_iters > 0
 
     def kernel(*refs):
@@ -182,46 +186,70 @@ def _kernel(T: int, n: int, m: int, boxqp_iters: int = 0, ls_alphas: int = 8):
             acc_s[:, :] = jnp.zeros_like(acc_s)
 
         mu = mu_ref[0, :]
+        V = [[Vxx_s[i * n + j, :] for j in range(n)] for i in range(n)]
+        v = [vx_s[i, :] for i in range(n)]
+        dV1, dV2, fail = acc_s[0, :], acc_s[1, :], acc_s[2, :]
 
-        fx = [[fx_ref[0, i * n + j, :] for j in range(n)] for i in range(n)]
-        fu = [[fu_ref[0, i * m + a, :] for a in range(m)] for i in range(n)]
-        lx = [lx_ref[0, i, :] for i in range(n)]
-        lu = [lu_ref[0, a, :] for a in range(m)]
-        lxx = [[lxx_ref[0, i * n + j, :] for j in range(n)] for i in range(n)]
-        luu = [[luu_ref[0, a * m + b, :] for b in range(m)] for a in range(m)]
-        lux = [[lux_ref[0, a * n + i, :] for i in range(n)] for a in range(m)]
+        bufK, bufk = [None] * TB, [None] * TB
+        for tl in reversed(range(TB)):
+            fx = [[fx_ref[tl, i * n + j, :] for j in range(n)]
+                  for i in range(n)]
+            fu = [[fu_ref[tl, i * m + a, :] for a in range(m)]
+                  for i in range(n)]
+            lx = [lx_ref[tl, i, :] for i in range(n)]
+            lu = [lu_ref[tl, a, :] for a in range(m)]
+            lxx = [[lxx_ref[tl, i * n + j, :] for j in range(n)]
+                   for i in range(n)]
+            luu = [[luu_ref[tl, a * m + b, :] for b in range(m)]
+                   for a in range(m)]
+            lux = [[lux_ref[tl, a * n + i, :] for i in range(n)]
+                   for a in range(m)]
 
-        if use_boxqp:
-            ubar = [ubar_ref[0, a, :] for a in range(m)]
-            qp_bounds = (
-                [lo_ref[a, 0] - ubar[a] for a in range(m)],
-                [hi_ref[a, 0] - ubar[a] for a in range(m)],
+            if use_boxqp:
+                ubar = [ubar_ref[tl, a, :] for a in range(m)]
+                qp_bounds = (
+                    [lo_ref[a, 0] - ubar[a] for a in range(m)],
+                    [hi_ref[a, 0] - ubar[a] for a in range(m)],
+                )
+            else:
+                qp_bounds = None
+
+            K, kvec, V, v, dV1, dV2, fail = _riccati_step_math(
+                n, m, fx, fu, lx, lu, lxx, luu, lux, mu, qp_bounds,
+                boxqp_iters, ls_alphas, V, v, dV1, dV2, fail,
             )
-        else:
-            qp_bounds = None
+            bufK[tl], bufk[tl] = K, kvec
 
-        _riccati_step_math(
-            n, m, fx, fu, lx, lu, lxx, luu, lux, mu, qp_bounds,
-            boxqp_iters, ls_alphas,
-            Vxx_s, vx_s, acc_s, K_ref, k_ref, dV1_ref, dV2_ref, fail_ref,
-        )
+        for tl in range(TB):
+            for a in range(m):
+                for i in range(n):
+                    K_ref[tl, a * n + i, :] = bufK[tl][a][i]
+                k_ref[tl, a, :] = bufk[tl][a]
+        for i in range(n):
+            for j in range(n):
+                Vxx_s[i * n + j, :] = V[i][j]
+            vx_s[i, :] = v[i]
+        acc_s[0, :] = dV1
+        acc_s[1, :] = dV2
+        acc_s[2, :] = fail
+        dV1_ref[0, :] = dV1
+        dV2_ref[0, :] = dV2
+        fail_ref[0, :] = fail
 
     return kernel
 
 
 def _riccati_step_math(n, m, fx, fu, lx, lu, lxx, luu, lux, mu, qp_bounds,
-                       boxqp_iters, ls_alphas,
-                       Vxx_s, vx_s, acc_s,
-                       K_ref, k_ref, dV1_ref, dV2_ref, fail_ref):
-    """One Riccati timestep on per-lane entry lists (factored out of the
-    kernel body so both constraint variants share the exact math).
+                       boxqp_iters, ls_alphas, V, v, dV1, dV2, fail):
+    """One Riccati timestep on per-lane entry lists — pure function of the
+    incoming value function ``(V, v)`` and accumulators, returning
+    ``(K, k, V_next, v_next, dV1, dV2, fail)`` (shared by both constraint
+    variants; the kernel owns all scratch/output stores).
 
     ``qp_bounds``: None for the unconstrained variant, else ``(lo, hi)``
     m-lists of per-lane bounds already shifted by ubar (delta coordinates).
     """
     use_boxqp = qp_bounds is not None
-    V = [[Vxx_s[i * n + j, :] for j in range(n)] for i in range(n)]
-    v = [vx_s[i, :] for i in range(n)]
 
     VR = [[V[i][j] + jnp.where(i == j, mu, 0.0) for j in range(n)]
           for i in range(n)]
@@ -253,7 +281,7 @@ def _riccati_step_math(n, m, fx, fu, lx, lu, lxx, luu, lux, mu, qp_bounds,
 
     # Unrolled Cholesky of QuuR with per-lane PD probe (both variants —
     # the scan path probes Quu_reg before boxQP too).
-    L, fail = _chol_unrolled(QuuR, m, fail=acc_s[2, :])
+    L, fail = _chol_unrolled(QuuR, m, fail=fail)
 
     if use_boxqp:
         # Control-limited DDP: k from projected-Newton boxQP within
@@ -280,11 +308,10 @@ def _riccati_step_math(n, m, fx, fu, lx, lu, lxx, luu, lux, mu, qp_bounds,
         K = [[-Kcols[i][a] for i in range(n)] for a in range(m)]
 
     # Expected improvement with UNregularized Q terms.
-    acc_s[0, :] = acc_s[0, :] + sum(kvec[a] * Qu[a] for a in range(m))
-    acc_s[1, :] = acc_s[1, :] + 0.5 * sum(
+    dV1 = dV1 + sum(kvec[a] * Qu[a] for a in range(m))
+    dV2 = dV2 + 0.5 * sum(
         kvec[a] * Quu[a][b] * kvec[b] for a in range(m) for b in range(m)
     )
-    acc_s[2, :] = fail
 
     # Value update (unregularized), symmetrized.
     Quu_k = [sum(Quu[a][b] * kvec[b] for b in range(m)) for a in range(m)]
@@ -306,21 +333,7 @@ def _riccati_step_math(n, m, fx, fu, lx, lu, lxx, luu, lux, mu, qp_bounds,
         + sum(Qux[a][i] * kvec[a] for a in range(m))
         for i in range(n)
     ]
-
-    for i in range(n):
-        for j in range(n):
-            Vxx_s[i * n + j, :] = Vn[i][j]
-        vx_s[i, :] = vn[i]
-
-    for a in range(m):
-        for i in range(n):
-            K_ref[0, a * n + i, :] = K[a][i]
-        k_ref[0, a, :] = kvec[a]
-
-    dV1_ref[0, :] = acc_s[0, :]
-    dV2_ref[0, :] = acc_s[1, :]
-    fail_ref[0, :] = acc_s[2, :]
-
+    return K, kvec, Vn, vn, dV1, dV2, fail
 
 
 @functools.partial(
@@ -349,10 +362,18 @@ def _riccati_pallas_raw(fx, fu, lx, lu, lxx, luu, lux, mu, VT, vT,
         BB //= 2
     nb = B // BB
 
-    tmap = lambda bi, t: (T - 1 - t, 0, bi)
+    # TB=1 (per-step): time-blocking this kernel was measured SLOWER (1.87
+    # vs 1.48 ms at B=4096, T=100, nav) even with buffered stores — unlike
+    # the rollout kernels, the value-function chain plus TB buffered (K, k)
+    # rows exceeds the register budget and spills. The kernel builder
+    # supports TB > 1 if a future hardware generation changes the tradeoff.
+    TB = 1
+    n_tb = T // TB
+
+    tmap = lambda bi, t: (n_tb - 1 - t, 0, bi)
     bmap = lambda bi, t: (0, bi)
 
-    spec = lambda e: pl.BlockSpec((1, e, BB), tmap, memory_space=pltpu.VMEM)
+    spec = lambda e: pl.BlockSpec((TB, e, BB), tmap, memory_space=pltpu.VMEM)
     in_specs = [
         spec(nn), spec(n * m), spec(n), spec(m), spec(nn), spec(m * m),
         spec(m * n),
@@ -373,8 +394,8 @@ def _riccati_pallas_raw(fx, fu, lx, lu, lxx, luu, lux, mu, VT, vT,
     inputs += [VT, vT]
 
     out = pl.pallas_call(
-        _kernel(T, n, m, boxqp_iters=boxqp_iters, ls_alphas=ls_alphas),
-        grid=(nb, T),
+        _kernel(T, n, m, boxqp_iters=boxqp_iters, ls_alphas=ls_alphas, TB=TB),
+        grid=(nb, n_tb),
         in_specs=in_specs,
         out_specs=[
             spec(m * n),

@@ -159,6 +159,9 @@ def _materialize_kernel(T, TB, n, m, step_fn, final_fn, treedef, orig_leaves,
         x = x_s[:, :]
         Jrow = J_s[0, :]
 
+        # buffer per-step outputs in registers; issue ALL stores after the
+        # sequential chain so they don't serialize against it
+        bufX, bufU = [], []
         for tl in range(TB):
             xbar = xbar_ref[tl, :, :]
             ubar = ubar_ref[tl, :, :]
@@ -180,10 +183,13 @@ def _materialize_kernel(T, TB, n, m, step_fn, final_fn, treedef, orig_leaves,
                 Jrow = jnp.where(
                     t == T // TB - 1, Jrow + final_fn(params, x_next), Jrow
                 )
-            X_ref[tl, :, :] = x_next
-            U_ref[tl, :, :] = u_mat
+            bufX.append(x_next)
+            bufU.append(u_mat)
             x = x_next
 
+        for tl in range(TB):
+            X_ref[tl, :, :] = bufX[tl]
+            U_ref[tl, :, :] = bufU[tl]
         x_s[:, :] = x
         J_s[0, :] = Jrow
         J_ref[:, :] = J_s[:, :]
@@ -286,11 +292,7 @@ def rollout_alpha_pallas(env, X, U, policy, alpha_vec):
     has_bounds = env.bounds is not None
     BB = _choose_bb(B)
     nb = B // BB
-    # TB=1: time-blocking measured a 6.5x REGRESSION here (1.29 -> 8.4 ms at
-    # B=4096, T=100) while winning on the costs kernel — the multi-row
-    # (TB, n, BB) output blocks defeat Mosaic's write pipelining. Keep the
-    # trajectory-materializing kernel per-step.
-    TB = 1
+    TB = _choose_tb(T)
 
     in_specs, bmap2 = _common_specs(T, TB, n, m, BB, has_bounds, leaves2d)
     in_specs = [pl.BlockSpec((1, BB), bmap2, memory_space=pltpu.VMEM)] + in_specs
