@@ -37,7 +37,6 @@ kernel body:
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,8 +21,6 @@ XLA path.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -38,7 +38,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from tfmpc_tpu.core.types import Policy, pytree_dataclass
+from tfmpc_tpu.core.types import Policy
 from tfmpc_tpu.models.base import Env
 
 
