@@ -8,6 +8,7 @@ deceleration lambda in (0,1) near zones.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tfmpc_tpu.models.navigation import Navigation, make_navigation
 
@@ -150,3 +151,72 @@ class TestRollout:
         env = make_navigation(goal=[0.0, 0.0], low=-1.0, high=2.0, dtype=jnp.float64)
         u = jnp.array([-5.0, 5.0])
         np.testing.assert_allclose(env.clip(u), [-1.0, 2.0])
+
+
+class TestAnalyticDerivatives:
+    """The closed-form linearization hook must match autodiff exactly."""
+
+    @pytest.mark.parametrize("zones", [0, 1, 3])
+    def test_matches_autodiff(self, zones, rng):
+        if zones:
+            dec = {
+                "center": rng.uniform(-4, 4, size=(zones, 2)).tolist(),
+                "decay": rng.uniform(0.5, 3.0, size=(zones,)).tolist(),
+            }
+        else:
+            dec = None
+        env = make_navigation(goal=[8.0, -5.0], deceleration=dec,
+                              dtype=jnp.float64)
+        T = 15
+        x0 = jnp.asarray(rng.uniform(-5, 5, size=2))
+        U = jnp.asarray(0.3 * rng.standard_normal((T, 2)))
+        X, _ = env.rollout(x0, U)
+
+        lin_a, quad_a, fin_a = env.analytic_derivatives(X, U)
+        lin_d = env.get_linear_transition(X[:-1], U, batch=True)
+        quad_d = env.get_quadratic_cost(X[:-1], U, batch=True)
+        fin_d = env.get_quadratic_final_cost(X[-1])
+
+        for a, d in [(lin_a, lin_d), (quad_a, quad_d), (fin_a, fin_d)]:
+            for la, ld in zip(
+                jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(d)
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(la), np.asarray(ld), rtol=1e-10, atol=1e-10
+                )
+
+    def test_solver_uses_hook_and_matches(self, rng):
+        """End-to-end: solve with the hook == solve with autodiff (hook
+        disabled by subclass override)."""
+        import dataclasses
+
+        from tfmpc_tpu.solvers import ilqr
+
+        env = make_navigation(
+            goal=[8.0, -5.0],
+            deceleration={"center": [[3.0, -2.0]], "decay": [2.0]},
+        )
+
+        @dataclasses.dataclass(frozen=True)
+        class NoHook(type(env)):
+            def analytic_derivatives(self, X, U):
+                return None
+
+        jax.tree_util.register_dataclass(
+            NoHook,
+            data_fields=[f.name for f in dataclasses.fields(NoHook)],
+            meta_fields=[],
+        )
+        env_nohook = NoHook(**{
+            f.name: getattr(env, f.name) for f in dataclasses.fields(env)
+        })
+
+        x0 = jnp.asarray([0.5, -1.0], jnp.float32)
+        cfg = ilqr.ILQRConfig(atol=1e-6, max_iterations=40)
+        res_a = ilqr.solve(env, x0, horizon=25, config=cfg)
+        res_d = ilqr.solve(env_nohook, x0, horizon=25, config=cfg)
+        np.testing.assert_allclose(
+            np.asarray(res_a.actions), np.asarray(res_d.actions),
+            rtol=1e-5, atol=1e-6,
+        )
+        assert int(res_a.iterations) == int(res_d.iterations)

@@ -131,6 +131,19 @@ class Env:
             return u
         return self.bounds.clip(u)
 
+    # -- optional analytic-derivatives hook ---------------------------------
+    def analytic_derivatives(self, X: jax.Array, U: jax.Array):
+        """Optional closed-form linearization over a whole horizon.
+
+        ``X: [T+1, n]``, ``U: [T, m]`` -> ``(LinearModel, QuadraticModel,
+        QuadraticFinal)`` exactly as ``ilqr.derivatives`` produces via
+        autodiff, or ``None`` to keep the generic ``vmap(jacfwd)`` path.
+        Purely an optimization hook: implementations must match the autodiff
+        linearization to fp tolerance (pinned per env in tests); autodiff
+        remains the semantics oracle.
+        """
+        return None
+
     # -- lane-major kernel hook --------------------------------------------
     def lane_functions(self):
         """Optional hook for the fused Pallas rollout kernels.

@@ -161,8 +161,13 @@ def derivatives(env: Env, X: jax.Array, U: jax.Array):
     """Linearize dynamics and quadratize costs along the whole horizon.
 
     The analogue of reference ``iLQR.derivatives`` (SURVEY §3.1) — one
-    ``vmap(jacfwd)`` sweep over all T steps at once.
+    ``vmap(jacfwd)`` sweep over all T steps at once, or the env's
+    closed-form ``analytic_derivatives`` where provided (an optimization
+    hook pinned against the autodiff path by tests).
     """
+    analytic = env.analytic_derivatives(X, U)
+    if analytic is not None:
+        return analytic
     lin = env.get_linear_transition(X[:-1], U, batch=True)
     quad = env.get_quadratic_cost(X[:-1], U, batch=True)
     final = env.get_quadratic_final_cost(X[-1])
