@@ -109,3 +109,30 @@ def test_quadratic_final_cost_vs_fd(name, rng):
     )
     np.testing.assert_allclose(np.asarray(fin.l_xx), _fd_jac(g, x),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("name", ["navigation", "hvac", "reservoir"])
+def test_analytic_hook_matches_autodiff(name, rng):
+    """Env.analytic_derivatives (closed-form optimization hook) must equal
+    the autodiff linearization to fp tolerance along a whole trajectory."""
+    env, x, u = _envs_and_points(rng)[name]
+    T = 12
+    U = env.clip(jnp.asarray(
+        np.stack([u + 0.1 * rng.standard_normal(u.shape) for _ in range(T)])
+    ))
+    X, _ = env.rollout(jnp.asarray(x), U)
+
+    hook = env.analytic_derivatives(X, U)
+    assert hook is not None
+    lin_a, quad_a, fin_a = hook
+    lin_d = env.get_linear_transition(X[:-1], U, batch=True)
+    quad_d = env.get_quadratic_cost(X[:-1], U, batch=True)
+    fin_d = env.get_quadratic_final_cost(X[-1])
+
+    for a, d in [(lin_a, lin_d), (quad_a, quad_d), (fin_a, fin_d)]:
+        for la, ld in zip(
+            jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(d)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(la), np.asarray(ld), rtol=1e-7, atol=1e-7
+            )

@@ -110,6 +110,74 @@ class HVAC(Env):
     def final_cost(self, x: jax.Array) -> jax.Array:
         return self.cost(x, jnp.zeros(self.action_size, x.dtype))
 
+    def analytic_derivatives(self, X: jax.Array, U: jax.Array):
+        """Closed-form linearization (pinned vs autodiff in tests).
+
+        Dynamics are affine in x with a bilinear u*x heating term, so
+        f_x = I + dt/C * (cond - diag(u*Ka + rowsum + ko + kh)) and
+        f_u = diag(dt/C * Ka * (Ta - x)); the cost Hessian is a
+        piecewise-constant diagonal.
+        """
+        from tfmpc_tpu.core.types import (
+            LinearModel, QuadraticFinal, QuadraticModel,
+        )
+
+        n = self.state_size
+        x = X[:-1]                                        # [T, n]
+        T = x.shape[0]
+        dtype = x.dtype
+        I = jnp.eye(n, dtype=dtype)
+        dt_c = self.time_delta / self.capacity            # [n]
+
+        cond = self.adj / self.r_wall                     # [n, n]
+        rowsum = jnp.sum(cond, axis=1)
+        ko = self.is_out / self.r_out
+        kh = self.is_hall / self.r_hall
+
+        heating = U * self.air_cap * (self.temp_air - x)
+        exchange = x @ cond.T - x * rowsum
+        leak = ko * (self.temp_out - x) + kh * (self.temp_hall - x)
+        f = x + dt_c * (heating + exchange + leak)
+
+        diag_term = -(U * self.air_cap + rowsum + ko + kh)  # [T, n]
+        f_x = (
+            I[None]
+            + (dt_c[:, None] * cond)[None]
+            + (dt_c * diag_term)[:, :, None] * I[None]
+        )
+        f_u = (dt_c * self.air_cap * (self.temp_air - x))[:, :, None] * I[None]
+        lin = LinearModel(f=f, f_x=f_x, f_u=f_u)
+
+        def cost_terms(xv):
+            below = jnp.maximum(self.temp_low - xv, 0.0)
+            above = jnp.maximum(xv - self.temp_high, 0.0)
+            mid = 0.5 * (self.temp_low + self.temp_high)
+            l = self.penalty * jnp.sum(
+                below**2 + above**2, axis=-1
+            ) + self.setpoint_weight * jnp.sum((xv - mid) ** 2, axis=-1)
+            l_x = 2.0 * self.penalty * (above - below) + (
+                2.0 * self.setpoint_weight * (xv - mid)
+            )
+            hdiag = 2.0 * self.penalty * (
+                (below > 0).astype(dtype) + (above > 0).astype(dtype)
+            ) + 2.0 * self.setpoint_weight
+            return l, l_x, hdiag
+
+        l, l_x, hdiag = cost_terms(x)
+        quad = QuadraticModel(
+            l=l + self.cost_air * jnp.sum(U, axis=-1),
+            l_x=l_x,
+            l_u=jnp.broadcast_to(
+                jnp.full((n,), self.cost_air, dtype), (T, n)
+            ),
+            l_xx=hdiag[:, :, None] * I[None],
+            l_uu=jnp.zeros((T, n, n), dtype),
+            l_ux=jnp.zeros((T, n, n), dtype),
+        )
+        lT, lT_x, hT = cost_terms(X[-1])
+        final = QuadraticFinal(l=lT, l_x=lT_x, l_xx=hT[:, None] * I)
+        return lin, quad, final
+
     def lane_functions(self):
         """Lane-major dynamics/cost for the fused Pallas rollout kernels.
 

@@ -93,6 +93,65 @@ class Reservoir(Env):
     def final_cost(self, x: jax.Array) -> jax.Array:
         return self.cost(x, jnp.zeros(self.action_size, x.dtype))
 
+    def analytic_derivatives(self, X: jax.Array, U: jax.Array):
+        """Closed-form linearization (pinned vs autodiff in tests).
+
+        f_x = diag(1 - e*(sin(x/cap) + (x/cap) cos(x/cap))),
+        f_u = D^T - I (constant); the cost Hessian is a piecewise-constant
+        diagonal.
+        """
+        from tfmpc_tpu.core.types import (
+            LinearModel, QuadraticFinal, QuadraticModel,
+        )
+
+        n = self.state_size
+        x = X[:-1]
+        T = x.shape[0]
+        dtype = x.dtype
+        I = jnp.eye(n, dtype=dtype)
+
+        r = x / self.max_capacity
+        f = x + self.rain - self.evap_factor * jnp.sin(r) * x - U + U @ self.downstream
+        dxdiag = 1.0 - self.evap_factor * (jnp.sin(r) + r * jnp.cos(r))
+        f_x = dxdiag[:, :, None] * I[None]
+        f_u = jnp.broadcast_to(self.downstream.T - I, (T, n, n))
+        lin = LinearModel(f=f, f_x=f_x, f_u=f_u)
+
+        def cost_terms(xv):
+            below = jnp.maximum(self.lower_bound - xv, 0.0)
+            above = jnp.maximum(xv - self.upper_bound, 0.0)
+            mid = 0.5 * (self.lower_bound + self.upper_bound)
+            l = jnp.sum(
+                self.low_penalty * below**2
+                + self.high_penalty * above**2
+                + self.setpoint_weight * (xv - mid) ** 2,
+                axis=-1,
+            )
+            l_x = (
+                -2.0 * self.low_penalty * below
+                + 2.0 * self.high_penalty * above
+                + 2.0 * self.setpoint_weight * (xv - mid)
+            )
+            hdiag = (
+                2.0 * self.low_penalty * (below > 0).astype(dtype)
+                + 2.0 * self.high_penalty * (above > 0).astype(dtype)
+                + 2.0 * self.setpoint_weight
+            )
+            return l, l_x, hdiag
+
+        l, l_x, hdiag = cost_terms(x)
+        quad = QuadraticModel(
+            l=l,
+            l_x=l_x,
+            l_u=jnp.zeros((T, n), dtype),
+            l_xx=hdiag[:, :, None] * I[None],
+            l_uu=jnp.zeros((T, n, n), dtype),
+            l_ux=jnp.zeros((T, n, n), dtype),
+        )
+        lT, lT_x, hT = cost_terms(X[-1])
+        final = QuadraticFinal(l=lT, l_x=lT_x, l_xx=hT[:, None] * I)
+        return lin, quad, final
+
     def lane_functions(self):
         """Lane-major dynamics/cost for the fused Pallas rollout kernels.
 
