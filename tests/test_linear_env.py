@@ -167,3 +167,22 @@ def test_ilqr_matches_lqr_on_random_systems(seed, n, m):
         float(res.total_cost), float(jnp.sum(costs_l)),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_analytic_hook_matches_autodiff(double_integrator, rng):
+    env = double_integrator
+    T = 10
+    x0 = jnp.asarray(rng.uniform(-2, 2, size=2).astype("f4"))
+    U = jnp.asarray(rng.uniform(-1, 1, size=(T, 1)).astype("f4"))
+    X, _ = env.rollout(x0, U)
+    lin_a, quad_a, fin_a = env.analytic_derivatives(X, U)
+    lin_d = env.get_linear_transition(X[:-1], U, batch=True)
+    quad_d = env.get_quadratic_cost(X[:-1], U, batch=True)
+    fin_d = env.get_quadratic_final_cost(X[-1])
+    for a, d in [(lin_a, lin_d), (quad_a, quad_d), (fin_a, fin_d)]:
+        for la, ld in zip(
+            jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(d)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(la), np.asarray(ld), rtol=1e-6, atol=1e-6
+            )

@@ -72,6 +72,40 @@ class LinearSystem(Env):
             C_f=self.Q_f, c_f=self.q_f,
         )
 
+    def analytic_derivatives(self, X: jax.Array, U: jax.Array):
+        """Closed-form linearization: everything is constant for an LTI
+        system with quadratic cost (pinned vs autodiff in tests)."""
+        from tfmpc_tpu.core.types import (
+            LinearModel, QuadraticFinal, QuadraticModel,
+        )
+
+        n, m = self.state_size, self.action_size
+        x = X[:-1]
+        T = x.shape[0]
+        rep = lambda a: jnp.broadcast_to(a, (T,) + a.shape)
+        lin = LinearModel(
+            f=x @ self.A.T + U @ self.B.T + self.c,
+            f_x=rep(self.A),
+            f_u=rep(self.B),
+        )
+        # gradients/Hessians of 1/2 z^T M z use the symmetric part of M
+        Qs = 0.5 * (self.Q + self.Q.T)
+        Rs = 0.5 * (self.R + self.R.T)
+        Qfs = 0.5 * (self.Q_f + self.Q_f.T)
+        quad = QuadraticModel(
+            l=jax.vmap(self.cost)(x, U),
+            l_x=x @ Qs + U @ self.N.T + self.q,
+            l_u=U @ Rs + x @ self.N + self.r,
+            l_xx=rep(Qs),
+            l_uu=rep(Rs),
+            l_ux=rep(self.N.T),
+        )
+        xT = X[-1]
+        final = QuadraticFinal(
+            l=self.final_cost(xT), l_x=Qfs @ xT + self.q_f, l_xx=Qfs
+        )
+        return lin, quad, final
+
     def lane_functions(self):
         """Lane-major dynamics/cost for the fused Pallas rollout kernels."""
         params = {
