@@ -106,15 +106,48 @@ class TestEndToEnd:
         np.testing.assert_allclose(r1.actions, r0.actions, atol=1e-3)
         np.testing.assert_allclose(r1.total_cost, r0.total_cost, rtol=1e-5)
 
-    def test_ragged_batch_falls_back(self, env):
-        """B not divisible by 128 silently uses the scan path (still correct)."""
+    def test_ragged_batch_pads_to_kernel(self, env):
+        """B not divisible by 128 is padded (scenario-0 duplicates) onto the
+        kernel path and sliced back — round-1 VERDICT: ragged batches used to
+        silently drop to the slow scan path."""
+        from tfmpc_tpu.solvers.ilqr_batched import _pad_lanes
+
         B = 5
+        cfg = ilqr.ILQRConfig(atol=1e-5, max_iterations=40, use_pallas=True)
+        assert _pad_lanes(env, cfg, B) == 123
         x0 = jnp.asarray(
             np.random.default_rng(3).uniform(-5, 5, size=(B, 2)).astype("float32")
         )
-        cfg = ilqr.ILQRConfig(atol=1e-5, max_iterations=40, use_pallas=True)
         res = ilqr.solve_batch(env, x0, horizon=15, config=cfg)
+        assert res.states.shape[0] == B and res.actions.shape[0] == B
         assert int(jnp.sum(res.converged)) == B
+        # padded solve must agree with the plain scan solve on the real rows
+        res_scan = ilqr.solve_batch(
+            env, x0, horizon=15,
+            config=ilqr.ILQRConfig(atol=1e-5, max_iterations=40),
+        )
+        np.testing.assert_allclose(
+            res.actions, res_scan.actions, rtol=1e-3, atol=1e-3
+        )
+
+    def test_ragged_batch_trace_and_resume_pad(self, env):
+        """Padding composes with return_trace and init_state resume."""
+        from tfmpc_tpu.solvers import ilqr_batched
+
+        B = 3
+        cfg = ilqr.ILQRConfig(atol=1e-5, max_iterations=6, use_pallas=True)
+        x0 = jnp.asarray(
+            np.random.default_rng(4).uniform(-5, 5, size=(B, 2)).astype("float32")
+        )
+        res, trace = ilqr.solve_batch(
+            env, x0, horizon=10, config=cfg, return_trace=True
+        )
+        assert trace.J.shape == (6, B)
+        state = ilqr_batched.state_from_result(res)
+        cfg_more = ilqr.ILQRConfig(atol=1e-5, max_iterations=40, use_pallas=True)
+        res2 = ilqr_batched.resume(env, state, config=cfg_more)
+        assert res2.states.shape[0] == B
+        assert int(jnp.sum(res2.converged)) == B
 
 
 class TestBoxQPKernelParity:

@@ -68,6 +68,20 @@ def _log_trace(trace, upto: int) -> None:
         )
 
 
+def build_ilqr_config(**kwargs):
+    """Construct the solver config the CLI commands run with.
+
+    Factored out (and pinned by tests/test_cli.py) so the product entry
+    point provably enables the fused Pallas kernel path by default —
+    ``use_pallas`` defaults to True here; eligibility checks inside
+    ``ilqr_batched`` fall back to the XLA path for unsupported shapes.
+    """
+    from tfmpc_tpu.solvers import ilqr as ilqr_solver
+
+    kwargs.setdefault("use_pallas", True)
+    return ilqr_solver.ILQRConfig(**kwargs)
+
+
 def _save_trajectories(result, logdir, num_samples):
     from tfmpc_tpu.utils.trajectory import Trajectory
 
@@ -153,10 +167,17 @@ def lqr(state_size, action_size, horizon, seed, x0_scale, parallel,
               help="Control-limited DDP backward pass (projected-Newton "
                    "boxQP). Default: on for box-constrained envs. "
                    "--no-boxqp gives the reference's clipping-only behavior.")
+@click.option("--pallas/--no-pallas", "pallas_flag", default=True,
+              show_default=True,
+              help="Route eligible solves through the fused Pallas kernels "
+                   "(batched Riccati backward + line-search rollouts). "
+                   "Ineligible shapes/envs fall back to the XLA path "
+                   "automatically, so this is safe to leave on.")
 @click.option("--parallel-backward", is_flag=True, default=False,
               help="O(log T) associative-scan backward pass (long horizons).")
 def ilqr(env_path, horizon, atol, max_iterations, x0_json, num_samples,
-         num_workers, seed, logdir, boxqp_flag, parallel_backward):
+         num_workers, seed, logdir, boxqp_flag, pallas_flag,
+         parallel_backward):
     """Solve a differentiable env from a JSON config with iLQR.
 
     Reference analogue: ``tfmpc ilqr`` (SURVEY §3.1).
@@ -195,9 +216,10 @@ def ilqr(env_path, horizon, atol, max_iterations, x0_json, num_samples,
 
     if boxqp_flag is None:
         boxqp_flag = env.bounds is not None
-    config = ilqr_solver.ILQRConfig(
+    config = build_ilqr_config(
         atol=atol, max_iterations=max_iterations,
-        boxqp=boxqp_flag, parallel_backward=parallel_backward,
+        boxqp=boxqp_flag, use_pallas=pallas_flag,
+        parallel_backward=parallel_backward,
     )
     trace_iters = logger.isEnabledFor(logging.INFO)
 
@@ -283,10 +305,13 @@ def ilqr(env_path, horizon, atol, max_iterations, x0_json, num_samples,
               help="Initial state as a JSON list; overrides the config's x0.")
 @click.option("--boxqp/--no-boxqp", "boxqp_flag", default=None,
               help="Control-limited DDP (default: on for bounded envs).")
+@click.option("--pallas/--no-pallas", "pallas_flag", default=True,
+              show_default=True,
+              help="Fused Pallas kernels where eligible (safe fallback).")
 @click.option("--logdir", type=click.Path(), default=None,
               help="Write the realized closed-loop trajectory CSV here.")
 def mpc(env_path, steps, plan_horizon, atol, max_iterations, x0_json,
-        boxqp_flag, logdir):
+        boxqp_flag, pallas_flag, logdir):
     """Closed-loop receding-horizon MPC from a JSON env config.
 
     Re-solves a ``--plan-horizon`` iLQR instance each step (warm-started),
@@ -317,16 +342,16 @@ def mpc(env_path, steps, plan_horizon, atol, max_iterations, x0_json,
 
     if boxqp_flag is None:
         boxqp_flag = env.bounds is not None
-    config = ilqr_solver.ILQRConfig(
-        atol=atol, max_iterations=max_iterations, boxqp=boxqp_flag
+    config = build_ilqr_config(
+        atol=atol, max_iterations=max_iterations, boxqp=boxqp_flag,
+        use_pallas=pallas_flag,
     )
     res = mpc_solver.run(
         env, jnp.asarray(x0), steps=steps, plan_horizon=plan_horizon,
         config=config,
     )
     costs = np.concatenate([
-        np.asarray(res.costs),
-        [float(res.total_cost) - float(np.sum(res.costs))],
+        np.asarray(res.costs), [float(res.final_cost)],
     ])
     tr = Trajectory(np.asarray(res.states), np.asarray(res.actions), costs)
     click.echo(repr(tr))

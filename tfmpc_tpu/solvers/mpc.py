@@ -36,7 +36,8 @@ class MPCResult(NamedTuple):
     states:      [B, steps+1, n] realized closed-loop states
     actions:     [B, steps, m]  executed first-actions of each plan
     costs:       [B, steps]     realized stage costs
-    total_cost:  [B]            realized cost incl. final cost at states[-1]
+    final_cost:  [B]            terminal cost evaluated at states[-1]
+    total_cost:  [B]            sum(costs) + final_cost
     plan_cost:   [B, steps]     each re-plan's predicted total cost
     iterations:  [B, steps]     solver iterations used per re-plan
     converged:   [B, steps]     per-step solver convergence
@@ -45,6 +46,7 @@ class MPCResult(NamedTuple):
     states: jax.Array
     actions: jax.Array
     costs: jax.Array
+    final_cost: jax.Array
     total_cost: jax.Array
     plan_cost: jax.Array
     iterations: jax.Array
@@ -100,12 +102,14 @@ def run(
         # scan stacks on axis 0 = time; move batch first
         tb = lambda a: jnp.swapaxes(a, 0, 1)
         X = jnp.concatenate([x0[:, None], tb(X)], axis=1)
-        total = jnp.sum(tb(costs), axis=1) + jax.vmap(env.final_cost)(x_T)
+        final = jax.vmap(env.final_cost)(x_T)
+        total = jnp.sum(tb(costs), axis=1) + final
 
     result = MPCResult(
         states=X,
         actions=tb(U),
         costs=tb(costs),
+        final_cost=final,
         total_cost=total,
         plan_cost=tb(plan_cost),
         iterations=tb(iters),
