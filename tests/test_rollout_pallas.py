@@ -170,6 +170,138 @@ def test_solve_batch_fused_matches_xla(name, rng):
     ).mean() > 0.95
 
 
+class TestGenericLaneAdapter:
+    """User-defined envs (reference DiffEnv's open extension point) get the
+    fused rollout path via the auto-derived lane adapter — round-1 VERDICT:
+    they silently fell back to the XLA path."""
+
+    def _custom_env(self):
+        from typing import Optional
+
+        from tfmpc_tpu.core.types import Bounds, pytree_dataclass
+        from tfmpc_tpu.models.base import Env
+
+        @pytree_dataclass
+        class DampedOscillator(Env):
+            """Test-only user env: only the public API, no lane_functions."""
+
+            stiffness: jax.Array
+            damping: jax.Array
+            bounds: Optional[Bounds] = None
+
+            @property
+            def state_size(self):
+                return 2
+
+            @property
+            def action_size(self):
+                return 1
+
+            def transition(self, x, u):
+                pos, vel = x[0], x[1]
+                acc = -self.stiffness * pos - self.damping * vel + u[0]
+                return jnp.stack([pos + 0.1 * vel, vel + 0.1 * acc])
+
+            def cost(self, x, u):
+                return jnp.sum(x * x) + 0.1 * jnp.sum(u * u)
+
+            def final_cost(self, x):
+                return 10.0 * jnp.sum(x * x)
+
+        return DampedOscillator(
+            stiffness=jnp.asarray(4.0, jnp.float32),
+            damping=jnp.asarray(0.4, jnp.float32),
+            bounds=Bounds(
+                low=jnp.asarray([-2.0], jnp.float32),
+                high=jnp.asarray([2.0], jnp.float32),
+            ),
+        )
+
+    def test_kernel_parity(self, rng):
+        env = self._custom_env()
+        assert env.lane_functions() is not None
+        B, T, n, m = 128, 8, 2, 1
+        x0 = jnp.asarray(rng.uniform(-2, 2, size=(B, n)).astype("f4"))
+        U = env.clip(
+            jnp.asarray(rng.uniform(-1, 1, size=(B, T, m)).astype("f4"))
+        )
+        X, _ = jax.vmap(env.rollout)(x0, U)
+        policy = Policy(
+            K=jnp.asarray(0.05 * rng.standard_normal((B, T, m, n)).astype("f4")),
+            k=jnp.asarray(0.1 * rng.standard_normal((B, T, m)).astype("f4")),
+        )
+        alphas = (1.0, 0.5)
+        J_kernel = linesearch_costs_pallas(env, X, U, policy, alphas)
+        J_ref = jax.vmap(
+            lambda x, u, p: jax.vmap(
+                lambda a: forward(env, x, u, p, a)[2]
+            )(jnp.asarray(alphas, X.dtype))
+        )(X, U, policy)
+        np.testing.assert_allclose(
+            np.asarray(J_kernel), np.asarray(J_ref), rtol=2e-5, atol=1e-3
+        )
+
+    def test_end_to_end_with_ragged_batch(self, rng):
+        """Custom env + B=100 (ragged): padding + generic adapter together."""
+        env = self._custom_env()
+        B = 100
+        x0 = jnp.asarray(rng.uniform(-2, 2, size=(B, 2)).astype("f4"))
+        base = dict(atol=1e-5, max_iterations=30, boxqp=True)
+        res_xla = ilqr.solve_batch(
+            env, x0, horizon=10, config=ilqr.ILQRConfig(**base)
+        )
+        res_fused = ilqr.solve_batch(
+            env, x0, horizon=10,
+            config=ilqr.ILQRConfig(**base, use_pallas=True),
+        )
+        assert res_fused.actions.shape == (B, 10, 1)
+        np.testing.assert_allclose(
+            np.asarray(res_fused.total_cost),
+            np.asarray(res_xla.total_cost),
+            rtol=1e-4,
+        )
+
+    def test_zone_free_navigation_zero_size_leaf(self, rng):
+        """Zero-size param leaves (centers [0, n]) are dropped from the
+        kernel inputs and reconstituted inside — the kernel still runs."""
+        env = make_navigation(goal=[2.0, 1.0])  # no deceleration zones
+        B, T = 128, 6
+        x0 = jnp.asarray(rng.uniform(-3, 3, size=(B, 2)).astype("f4"))
+        U = jnp.asarray(rng.uniform(-1, 1, size=(B, T, 2)).astype("f4"))
+        X, _ = jax.vmap(env.rollout)(x0, U)
+        policy = Policy(
+            K=jnp.zeros((B, T, 2, 2), jnp.float32),
+            k=jnp.zeros((B, T, 2), jnp.float32),
+        )
+        J = linesearch_costs_pallas(env, X, U, policy, (1.0,))
+        J_ref = jax.vmap(lambda x, u, p: forward(env, x, u, p, 1.0)[2])(
+            X, U, policy
+        )
+        np.testing.assert_allclose(
+            np.asarray(J[:, 0]), np.asarray(J_ref), rtol=2e-5, atol=1e-3
+        )
+
+
+def test_time_blocked_materialize_matches_per_step(rng):
+    """TB>1 buffered-store materialize is a pure reindexing of TB=1
+    (ADVICE round 1: this variant only ever ran on TPU, unpinned)."""
+    env = ENVS["navigation"]
+    B, T = 128, 4
+    n = m = 2
+    x0 = _x0_batch(env, B, rng)
+    U = jnp.asarray(rng.uniform(-1, 1, size=(B, T, m)).astype("f4"))
+    X, _ = jax.vmap(env.rollout)(x0, U)
+    policy = Policy(
+        K=jnp.asarray(0.05 * rng.standard_normal((B, T, m, n)).astype("f4")),
+        k=jnp.asarray(0.1 * rng.standard_normal((B, T, m)).astype("f4")),
+    )
+    alpha_vec = jnp.asarray(rng.choice([1.0, 0.5], size=(B,)).astype("f4"))
+    out1 = rollout_alpha_pallas(env, X, U, policy, alpha_vec, time_block=1)
+    out2 = rollout_alpha_pallas(env, X, U, policy, alpha_vec, time_block=2)
+    for a1, a2 in zip(out1, out2):
+        np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=1e-6)
+
+
 def test_time_blocked_costs_match_per_step(rng):
     """TB>1 (the TPU pipelining layout) is a pure reindexing of TB=1."""
     env = ENVS["navigation"]

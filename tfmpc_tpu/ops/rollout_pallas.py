@@ -29,16 +29,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _param_inputs(params):
+    """Flatten a params pytree into Pallas-able 2-D inputs.
+
+    Zero-size leaves (e.g. a zone-free navigation's ``centers [0, n]``) are
+    dropped from the kernel inputs — Pallas rejects empty blocks — and
+    reconstituted as zeros inside the kernel (``_read_params``), which is
+    exact: an empty array carries no data.
+    """
     leaves, treedef = jax.tree_util.tree_flatten(params)
-    leaves2d = [jnp.atleast_2d(jnp.asarray(l)) for l in leaves]
-    return leaves2d, treedef
+    orig_leaves = [jnp.asarray(l) for l in leaves]
+    leaves2d = [jnp.atleast_2d(a) for a in orig_leaves if a.size > 0]
+    return leaves2d, treedef, orig_leaves
 
 
 def _read_params(refs, treedef, orig_leaves):
     vals = []
-    for ref, orig in zip(refs, orig_leaves):
-        v = ref[...]
-        vals.append(v.reshape(jnp.shape(orig)))
+    it = iter(refs)
+    for orig in orig_leaves:
+        if orig.size == 0:
+            vals.append(jnp.zeros(orig.shape, orig.dtype))
+        else:
+            vals.append(next(it)[...].reshape(orig.shape))
     return jax.tree_util.tree_unflatten(treedef, vals)
 
 
@@ -237,8 +248,7 @@ def linesearch_costs_pallas(env, X, U, policy, alphas,
     Kk = jnp.transpose(policy.K.reshape(B, T, m * n), (1, 2, 0))
     kk = jnp.transpose(policy.k, (1, 2, 0))
 
-    leaves2d, treedef = _param_inputs(params)
-    orig_leaves = jax.tree_util.tree_leaves(params)
+    leaves2d, treedef, orig_leaves = _param_inputs(params)
     has_bounds = env.bounds is not None
     BB = _choose_bb(B)
     nb = B // BB
@@ -268,10 +278,12 @@ def linesearch_costs_pallas(env, X, U, policy, alphas,
     return jnp.transpose(J, (1, 0))  # [B, A]
 
 
-def rollout_alpha_pallas(env, X, U, policy, alpha_vec):
+def rollout_alpha_pallas(env, X, U, policy, alpha_vec, time_block=None):
     """Materialize the closed-loop rollout at each scenario's own alpha.
 
     alpha_vec: [B]. Returns (X_new [B, T+1, n], U_new [B, T, m], J [B]).
+    ``time_block`` overrides the TB heuristic (tests pin TB>1 parity in
+    interpret mode, where ``_choose_tb`` would otherwise always pick 1).
     """
     lane = env.lane_functions()
     assert lane is not None
@@ -285,12 +297,11 @@ def rollout_alpha_pallas(env, X, U, policy, alpha_vec):
     kk = jnp.transpose(policy.k, (1, 2, 0))
     alpha2 = alpha_vec.astype(X.dtype).reshape(1, B)
 
-    leaves2d, treedef = _param_inputs(params)
-    orig_leaves = jax.tree_util.tree_leaves(params)
+    leaves2d, treedef, orig_leaves = _param_inputs(params)
     has_bounds = env.bounds is not None
     BB = _choose_bb(B)
     nb = B // BB
-    TB = _choose_tb(T)
+    TB = _choose_tb(T) if time_block is None else time_block
 
     in_specs, bmap2 = _common_specs(T, TB, n, m, BB, has_bounds, leaves2d)
     in_specs = [pl.BlockSpec((1, BB), bmap2, memory_space=pltpu.VMEM)] + in_specs
