@@ -71,15 +71,18 @@ def main():
     def timing_window():
         t0 = time.perf_counter()
         reps = 0
-        while time.perf_counter() - t0 < 3.0 and reps < 50:
+        while time.perf_counter() - t0 < 2.0 and reps < 50:
             run()
             reps += 1
         return B * reps / (time.perf_counter() - t0)
 
-    # Best of two windows: the remote-TPU dispatch tunnel adds up to ~15%
-    # run-to-run noise that only ever slows the measurement down.
+    # Median of three windows: the remote-TPU dispatch tunnel adds up to
+    # ~15% run-to-run noise that only ever slows the measurement down, but
+    # a max-of-N estimator is one-sided — the median is defensible and the
+    # selection policy travels with the number in the JSON line.
     with ctx:
-        solves_per_s = max(timing_window(), timing_window())
+        windows = sorted(timing_window() for _ in range(3))
+        solves_per_s = windows[1]
 
     # sanity: solves must actually converge for throughput to mean anything
     res = pmesh.solve_ilqr_sharded(env, x0, horizon=horizon, config=config, mesh=mesh)
@@ -96,6 +99,8 @@ def main():
                 "value": round(solves_per_s, 1),
                 "unit": "solves/s",
                 "vs_baseline": round(solves_per_s / 1000.0, 3),
+                "timing": "median_of_3_windows",
+                "windows": [round(w, 1) for w in windows],
             }
         )
     )

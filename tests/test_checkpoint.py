@@ -121,6 +121,34 @@ class TestCheckpointResume:
         with pytest.raises(ValueError, match="missing fields"):
             checkpoint.load_state(str(path))
 
+    def test_resume_rejects_wrong_env(self, env, x0):
+        """A checkpoint from a different env family fails fast with a clear
+        message instead of an opaque shape error inside the jitted resume
+        (round-1 ADVICE)."""
+        from tfmpc_tpu.models.reservoir import make_reservoir
+
+        part = ilqr.solve_batch(
+            env, x0, horizon=HORIZON,
+            config=ilqr.ILQRConfig(atol=1e-4, max_iterations=2),
+        )
+        state = ilqr_batched.state_from_result(part)
+        with pytest.raises(ValueError, match="wrong env"):
+            ilqr_batched.resume(make_reservoir(5), state)
+
+    def test_load_rejects_corrupt_metadata(self, env, x0, tmp_path):
+        part = ilqr.solve_batch(
+            env, x0, horizon=HORIZON,
+            config=ilqr.ILQRConfig(atol=1e-4, max_iterations=2),
+        )
+        state = ilqr_batched.state_from_result(part)
+        path = checkpoint.save_state(str(tmp_path / "ckpt.npz"), state)
+        with np.load(path) as data:
+            arrays = {k: data[k] for k in data.files}
+        arrays["U"] = arrays["U"][:, :-1]  # truncate the horizon
+        np.savez(tmp_path / "bad.npz", **arrays)
+        with pytest.raises(ValueError, match="metadata|inconsistent"):
+            checkpoint.load_state(str(tmp_path / "bad.npz"))
+
     def test_resume_after_convergence_is_noop(self, env, x0):
         config = ilqr.ILQRConfig(atol=1e-4, max_iterations=50)
         full = ilqr.solve_batch(env, x0, horizon=HORIZON, config=config)

@@ -352,14 +352,26 @@ def _iteration_batched(env: Env, state: _BatchState, config: ILQRConfig, alphas)
     J_new = jnp.where(upd, J_best, state.J)
 
     # KKT stationarity on the updated controls (box-constrained envs only;
-    # see ilqr.py ILQRConfig.kkt_atol).
+    # see ilqr.py ILQRConfig.kkt_atol). Gated two ways to match the
+    # single-scenario path exactly while skipping the extra VJP on ordinary
+    # progressing iterations: the per-lane mask only applies where that lane
+    # accepted nothing, and the whole computation is skipped (lax.cond)
+    # unless some active lane stalled.
     if kkt_pending:
         with jax.named_scope("ilqr.kkt"):
-            g = jax.vmap(jax.grad(env.total_cost, argnums=1))(
-                state.X[:, 0], U_new
-            )
-            pg = U_new - env.clip(U_new - g)
-            stationary = jnp.max(jnp.abs(pg), axis=(1, 2)) < config.kkt_atol
+            B = U_new.shape[0]
+
+            def _kkt(_):
+                g = jax.vmap(jax.grad(env.total_cost, argnums=1))(
+                    state.X[:, 0], U_new
+                )
+                pg = U_new - env.clip(U_new - g)
+                return jnp.max(jnp.abs(pg), axis=(1, 2)) < config.kkt_atol
+
+            stationary = jax.lax.cond(
+                jnp.any(active & ~any_accepted),
+                _kkt, lambda _: jnp.zeros((B,), bool), None,
+            ) & ~any_accepted
         at_optimum = at_optimum | stationary
 
     residual = jnp.where(
@@ -431,6 +443,9 @@ def resume(
     return_trace: bool = False,
 ):
     """Continue a checkpointed solve until convergence or max_iterations."""
+    from tfmpc_tpu.utils.checkpoint import validate_state
+
+    validate_state(state, env)
     return solve_batch(
         env, None, None, horizon=None, config=config, init_state=state,
         return_trace=return_trace,
