@@ -1,4 +1,4 @@
-"""Per-stage timing of the iLQR pipeline on the current backend.
+"""Per-stage timing + roofline accounting of the iLQR pipeline.
 
 Remote-TPU dispatch costs ~35 ms per call, which swamps naive timing of
 individual jitted stages. This tool loops each stage INSIDE one jit via
@@ -6,8 +6,29 @@ individual jitted stages. This tool loops each stage INSIDE one jit via
 divides by the rep count — the technique behind every stage number quoted
 in the commit history and CLAUDE.md.
 
-Usage: ``python benchmarks/profile_stages.py [--batch 4096] [--horizon 100]``
-Prints one JSON line per stage.
+Roofline accounting (round-1 VERDICT: "speed-of-light" was asserted, never
+demonstrated): each stage carries an analytic bytes-moved and FLOP model
+(exact for HBM traffic — one read of every input tensor, one write of every
+output; op-count model for FLOPs, +-20%), reported as achieved GB/s and
+GFLOP/s against the v5e peaks:
+
+  HBM   819 GB/s      (published v5e spec)
+  VPU   ~3.9 TFLOP/s  fp32 vector (8x128 lanes x 2 FMA x ~2 issue x ~1 GHz;
+                      approximate — the VPU peak is not published to the
+                      same precision as MXU/HBM numbers)
+
+These kernels are VPU+HBM codes by design: matrices are 2..12 wide, so the
+128x128 MXU cannot be tiled (SURVEY §7.3); batch lanes ARE the vector axis.
+A stage near the HBM line is bandwidth-optimal; far below both lines means
+latency/dependency-bound (the sequential Riccati chain).
+
+Usage::
+
+  python benchmarks/profile_stages.py [--batch 4096] [--horizon 100]
+                                      [--env navigation|hvac]
+
+``--env hvac`` profiles the box-constrained pipeline (boxQP backward kernel
+and the KKT-stationarity VJP) that round 1 never measured.
 """
 
 from __future__ import annotations
@@ -22,6 +43,9 @@ import jax.numpy as jnp
 import numpy as np
 
 REPS = 30
+
+HBM_PEAK = 819e9          # bytes/s, TPU v5e
+VPU_PEAK = 3.9e12         # flops/s fp32, approximate (see module docstring)
 
 
 def _timed_loop(make):
@@ -41,14 +65,82 @@ def _timed_loop(make):
     return (time.perf_counter() - t0) / REPS * 1e3
 
 
+def _deriv_bytes(B, T, n, m):
+    """derivatives: read X/U, write LinearModel + QuadraticModel (+final)."""
+    reads = B * (T + 1) * n + B * T * m
+    writes = B * T * (n + n * n + n * m) + B * T * (
+        1 + n + m + n * n + m * m + m * n
+    ) + B * (1 + n + n * n)
+    return 4 * (reads + writes)
+
+
+def _riccati_flops_per_step(n, m, boxqp_iters=0, ls_alphas=8):
+    """Op-count model of one Riccati timestep per lane (2 flops per MAC)."""
+    base = (
+        2 * (2 * n**3)                 # W = V fx, WRx
+        + 2 * (2 * n * n * m)          # Wu, WRu
+        + 2 * n * n + 2 * n * m        # Qx, Qu
+        + 2 * n**3 + 2 * n * n * m * 2 # Qxx, Qux/QuxR
+        + 2 * n * m * m * 2            # Quu, QuuR
+        + m**3                         # Cholesky
+        + 2 * m * m * (n + 1)          # solves for K, k
+        + 2 * m + 2 * m * m            # dV1, dV2
+        + 2 * m * m + 2 * m * m * n + 5 * m * n * n + 6 * m * n  # value upd
+    )
+    if boxqp_iters:
+        per_newton = (
+            2 * m * m          # gradient
+            + 6 * m            # masks
+            + m**3             # masked Cholesky
+            + 2 * m * m        # solve
+            + ls_alphas * (2 * m * m + 4 * m)  # projected line search
+        )
+        base += boxqp_iters * per_newton + m**3 + 2 * m * m * n
+    return base
+
+
+def _riccati_bytes(B, T, n, m, boxqp=False):
+    reads = B * T * (n * n + n * m + n + m + n * n + m * m + m * n)
+    if boxqp:
+        reads += B * T * m + 2 * m
+    reads += B * (n * n + n) + B  # VT, vT, mu
+    writes = B * T * (m * n + m) + 3 * B
+    return 4 * (reads + writes)
+
+
+def _env_step_flops(env, n, m):
+    """Rough per-lane flop count of transition+cost (navigation/HVAC)."""
+    if type(env).__name__ == "HVAC":
+        return 2 * n * n + 14 * n   # cond matvec + per-room terms
+    return 12 * n + 8               # lambda factors + integrate + cost
+
+
+def _rollout_bytes(B, T, n, m, n_alphas, materialize):
+    reads = B * T * (n + m + m * n + m)
+    if materialize:
+        writes = B * T * (n + m) + B
+        reads += B
+    else:
+        writes = n_alphas * B
+    return 4 * (reads + writes)
+
+
+def _control_law_flops(n, m):
+    return 2 * m * n + 4 * m       # K dx + ubar + alpha k + clip
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--horizon", type=int, default=100)
+    ap.add_argument("--env", choices=["navigation", "hvac"],
+                    default="navigation")
     args = ap.parse_args()
 
-    from tfmpc_tpu.models.navigation import make_navigation
-    from tfmpc_tpu.ops.riccati_pallas import riccati_backward_pallas
+    from tfmpc_tpu.ops.riccati_pallas import (
+        riccati_backward_boxqp_pallas,
+        riccati_backward_pallas,
+    )
     from tfmpc_tpu.ops.rollout_pallas import (
         linesearch_costs_pallas,
         rollout_alpha_pallas,
@@ -56,49 +148,118 @@ def main():
     from tfmpc_tpu.solvers import ilqr
     from tfmpc_tpu.solvers.ilqr_batched import _derivatives_batched
 
-    env = make_navigation(
-        goal=[8.0, -5.0],
-        deceleration={"center": [[3.0, -2.0]], "decay": [2.0]},
-    )
     B, T = args.batch, args.horizon
     rng = np.random.default_rng(0)
-    x0 = jnp.asarray(rng.uniform(-10, 10, size=(B, 2)).astype("f4"))
-    U = jnp.asarray(0.1 * rng.normal(size=(B, T, 2)).astype("f4"))
+    if args.env == "navigation":
+        from tfmpc_tpu.models.navigation import make_navigation
+
+        env = make_navigation(
+            goal=[8.0, -5.0],
+            deceleration={"center": [[3.0, -2.0]], "decay": [2.0]},
+        )
+        x0 = jnp.asarray(rng.uniform(-10, 10, size=(B, 2)).astype("f4"))
+    else:
+        from tfmpc_tpu.models.hvac import make_hvac
+
+        adj = [
+            [0, 1, 0, 0, 0, 1], [1, 0, 1, 0, 0, 0], [0, 1, 0, 1, 0, 0],
+            [0, 0, 1, 0, 1, 0], [0, 0, 0, 1, 0, 1], [1, 0, 0, 0, 1, 0],
+        ]
+        env = make_hvac(
+            adj, is_out=[1, 0, 0, 1, 0, 0], is_hall=[0, 1, 0, 0, 1, 0]
+        )
+        x0 = jnp.asarray(rng.uniform(8, 18, size=(B, 6)).astype("f4"))
+
+    n, m = env.state_size, env.action_size
+    boxqp = env.bounds is not None
+    cfg = ilqr.ILQRConfig(use_pallas=True, boxqp=boxqp)
+    A = cfg.num_alphas
+
+    U = env.clip(jnp.asarray(
+        0.1 * rng.normal(size=(B, T, m)).astype("f4") + (1.0 if boxqp else 0.0)
+    ))
     X = jax.vmap(lambda x, u: env.rollout(x, u)[0])(x0, U)
     mu = jnp.zeros((B,), jnp.float32)
-    cfg = ilqr.ILQRConfig(use_pallas=True)
-    lin, quad, fin = jax.jit(lambda X, U: _derivatives_batched(env, X, U))(X, U)
-    _, pol, _, _ = jax.jit(riccati_backward_pallas)(lin, quad, fin, mu)
+    lin, quad, fin = jax.jit(
+        lambda X, U: _derivatives_batched(env, X, U)
+    )(X, U)
+    if boxqp:
+        backward = lambda l: riccati_backward_boxqp_pallas(
+            l, quad, fin, mu, env.bounds, U, boxqp_iters=cfg.boxqp_iters
+        )
+    else:
+        backward = lambda l: riccati_backward_pallas(l, quad, fin, mu)
+    _, pol, _, _ = jax.jit(
+        lambda l: backward(l)
+    )(lin)
     av = jnp.ones((B,), jnp.float32)
+    alphas = cfg.alphas_static()
+
+    step_flops = _env_step_flops(env, n, m)
+    cl_flops = _control_law_flops(n, m)
 
     stages = {
-        "derivatives (XLA vmap-jacfwd)": lambda e: jnp.sum(
-            _derivatives_batched(env, X + e, U)[0].f_x
+        "derivatives": (
+            lambda e: jnp.sum(_derivatives_batched(env, X + e, U)[0].f_x),
+            _deriv_bytes(B, T, n, m),
+            B * T * (8 * n * n + 30 * n),  # analytic-derivs op model
         ),
-        "backward (Pallas Riccati)": lambda e: jnp.sum(
-            riccati_backward_pallas(
-                dataclasses.replace(lin, f_x=lin.f_x + e), quad, fin, mu
-            )[1].k
+        ("backward (Pallas Riccati boxQP)" if boxqp
+         else "backward (Pallas Riccati)"): (
+            lambda e: jnp.sum(
+                backward(dataclasses.replace(lin, f_x=lin.f_x + e))[1].k
+            ),
+            _riccati_bytes(B, T, n, m, boxqp),
+            B * T * _riccati_flops_per_step(
+                n, m, cfg.boxqp_iters if boxqp else 0
+            ),
         ),
-        "linesearch (Pallas, all alphas)": lambda e: jnp.sum(
-            linesearch_costs_pallas(env, X + e, U, pol, cfg.alphas_static())
+        "linesearch costs (Pallas, all alphas)": (
+            lambda e: jnp.sum(
+                linesearch_costs_pallas(env, X + e, U, pol, alphas)
+            ),
+            _rollout_bytes(B, T, n, m, A, materialize=False),
+            A * B * T * (step_flops + cl_flops),
         ),
-        "materialize (Pallas, accepted alpha)": lambda e: jnp.sum(
-            rollout_alpha_pallas(env, X + e, U, pol, av)[2]
+        "materialize (Pallas, accepted alpha)": (
+            lambda e: jnp.sum(rollout_alpha_pallas(env, X + e, U, pol, av)[2]),
+            _rollout_bytes(B, T, n, m, A, materialize=True),
+            B * T * (step_flops + cl_flops),
         ),
     }
+    if boxqp:
+        # the KKT stationarity VJP (gated to stalled iterations, but its
+        # unit cost was never measured in round 1)
+        kkt = lambda e: jnp.sum(
+            jax.vmap(jax.grad(env.total_cost, argnums=1))(x0 + e, U)
+        )
+        stages["kkt stationarity (XLA rollout VJP)"] = (
+            kkt,
+            4 * (B * n + 2 * B * T * m),
+            2 * B * T * (2 * step_flops + 2 * m),
+        )
+
     total = 0.0
-    for name, make in stages.items():
+    for name, (make, nbytes, flops) in stages.items():
         ms = _timed_loop(make)
         total += ms
+        gbs = nbytes / (ms / 1e3) / 1e9
+        gflops = flops / (ms / 1e3) / 1e9
         print(json.dumps({
-            "stage": name, "ms_per_iteration": round(ms, 3),
-            "batch": B, "horizon": T,
+            "stage": name,
+            "ms_per_iteration": round(ms, 3),
+            "GB_moved": round(nbytes / 1e9, 4),
+            "achieved_GBps": round(gbs, 1),
+            "pct_HBM_roofline": round(100 * gbs * 1e9 / HBM_PEAK, 1),
+            "GFLOP": round(flops / 1e9, 3),
+            "achieved_GFLOPs": round(gflops, 1),
+            "pct_VPU_roofline": round(100 * gflops * 1e9 / VPU_PEAK, 1),
+            "batch": B, "horizon": T, "env": args.env,
         }), flush=True)
     print(json.dumps({
         "stage": "TOTAL per outer iLQR iteration",
         "ms_per_iteration": round(total, 3),
-        "batch": B, "horizon": T,
+        "batch": B, "horizon": T, "env": args.env,
     }))
 
 
