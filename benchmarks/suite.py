@@ -124,12 +124,19 @@ def config4_reservoir_t500(quick: bool):
     _report(4, f"iLQR reservoir-5 boxQP T=500 B={B}", solves, "solves/s",
             {"frac_converged": float(jnp.mean(res.converged.astype("f4")))})
 
-    # Latency variant: single scenario, associative-scan (O(log T)) backward.
+    # Latency variants, single scenario. The fused boxQP kernel (batch-
+    # padded B=1 -> 128 lanes) is the fastest single-chip path (measured
+    # 79 vs 372 ms sequential); parallel-scan is the horizon-sharded
+    # capability path (boxQP-composed since round 2).
     x1 = x0[:1]
     for label, pcfg in [
-        ("sequential", ilqr.ILQRConfig(atol=1e-3, max_iterations=30)),
-        ("parallel-scan", ilqr.ILQRConfig(
-            atol=1e-3, max_iterations=30, parallel_backward=True)),
+        ("sequential boxQP", ilqr.ILQRConfig(
+            atol=1e-3, max_iterations=30, boxqp=True)),
+        ("fused-kernel boxQP", ilqr.ILQRConfig(
+            atol=1e-3, max_iterations=30, boxqp=True, use_pallas=True)),
+        ("parallel-scan boxQP", ilqr.ILQRConfig(
+            atol=1e-3, max_iterations=30, boxqp=True,
+            parallel_backward=True)),
     ]:
         f1 = lambda: float(jnp.sum(
             ilqr.solve_batch(env, x1, horizon=500, config=pcfg).total_cost

@@ -72,10 +72,17 @@ class ILQRConfig:
     # O(log T) associative-scan backward pass (solvers/lqr_parallel.py::
     # ilqr_backward_parallel) — the long-horizon path (reservoir T=500,
     # BASELINE config 4). Uses cost-style Levenberg regularization with
-    # ``parallel_mu_floor`` (see that function's docstring); incompatible
-    # with boxqp (falls back to the sequential scan).
+    # ``parallel_mu_floor`` (see that function's docstring). Composes with
+    # boxqp: the value recursion runs through the associative scan and the
+    # gains come from one batched-over-time boxQP re-pass
+    # (ilqr_backward_parallel_boxqp).
     parallel_backward: bool = False
     parallel_mu_floor: float = 1e-5
+    # Mesh axis name to shard the parallel backward's [T]-leading tensors
+    # over (horizon/sequence parallelism; SURVEY §2.3 SP row). Requires
+    # ``parallel_backward`` and an active mesh (``jax.set_mesh``) carrying
+    # that axis — see parallel/mesh.py::solve_ilqr_time_sharded.
+    time_axis: Optional[str] = None
     # KKT projected-gradient stationarity test for box-constrained envs:
     # converged when ||U - clip(U - dJ/dU)||_inf < kkt_atol. Recognizes
     # boundary optima that the expected-improvement test cannot (an
@@ -197,11 +204,23 @@ def backward(lin, quad, final, mu, config: ILQRConfig, bounds=None, Ubar=None):
     """
     n = lin.f_x.shape[-1]
     use_boxqp = config.boxqp and bounds is not None and Ubar is not None
-    if config.parallel_backward and not use_boxqp:
+    if config.parallel_backward:
+        if use_boxqp:
+            from tfmpc_tpu.solvers.lqr_parallel import (
+                ilqr_backward_parallel_boxqp,
+            )
+
+            return ilqr_backward_parallel_boxqp(
+                lin, quad, final, mu, bounds, Ubar,
+                mu_floor=config.parallel_mu_floor,
+                boxqp_iters=config.boxqp_iters,
+                time_axis=config.time_axis,
+            )
         from tfmpc_tpu.solvers.lqr_parallel import ilqr_backward_parallel
 
         return ilqr_backward_parallel(
-            lin, quad, final, mu, mu_floor=config.parallel_mu_floor
+            lin, quad, final, mu, mu_floor=config.parallel_mu_floor,
+            time_axis=config.time_axis,
         )
     if use_boxqp:
         from tfmpc_tpu.ops.boxqp import boxqp as _boxqp, solve_free_system
