@@ -1,0 +1,143 @@
+"""Mid-dim Riccati kernel vs the vmapped-scan backward, on chip.
+
+The acceptance benchmark for the round-2 mid-dim kernel (VERDICT: "a 16-
+and 24-dim env beats the vmapped scan >=10x on chip"): times the backward
+pass (unconstrained and boxQP) at several state/action sizes through both
+paths and prints the speedup per configuration.
+
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/middim_bench.py
+        [--batch 1024] [--horizon 100] [--dims 16,24]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPS = 10
+
+
+def _timed(make):
+    @jax.jit
+    def f(eps):
+        def body(carry, _):
+            return carry + 1e-6, make(carry)
+
+        _, outs = jax.lax.scan(body, eps, None, length=REPS)
+        return jnp.sum(outs)
+
+    t0 = time.perf_counter()
+    float(f(jnp.float32(0.0)))  # compile
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(f(jnp.float32(1e-7)))
+    return (time.perf_counter() - t0) / REPS * 1e3, compile_s
+
+
+def _synthetic(rng, B, T, n, m, dtype=jnp.float32):
+    def psd(k, scale):
+        A = rng.standard_normal((B, T, k, k)) * scale
+        M = np.einsum("btij,btkj->btik", A, A) + 0.5 * np.eye(k)
+        return jnp.asarray(M, dtype)
+
+    from tfmpc_tpu.core.types import (
+        Bounds, LinearModel, QuadraticFinal, QuadraticModel,
+    )
+
+    lin = LinearModel(
+        f=jnp.zeros((B, T, n), dtype),
+        f_x=jnp.asarray(
+            0.9 * np.stack([np.eye(n)] * (B * T)).reshape(B, T, n, n)
+            + 0.1 * rng.standard_normal((B, T, n, n)), dtype
+        ),
+        f_u=jnp.asarray(0.3 * rng.standard_normal((B, T, n, m)), dtype),
+    )
+    quad = QuadraticModel(
+        l=jnp.zeros((B, T), dtype),
+        l_x=jnp.asarray(rng.standard_normal((B, T, n)), dtype),
+        l_u=jnp.asarray(rng.standard_normal((B, T, m)), dtype),
+        l_xx=psd(n, 0.3),
+        l_uu=psd(m, 0.3),
+        l_ux=jnp.asarray(0.1 * rng.standard_normal((B, T, m, n)), dtype),
+    )
+    final = QuadraticFinal(
+        l=jnp.zeros((B,), dtype),
+        l_x=jnp.asarray(rng.standard_normal((B, n)), dtype),
+        l_xx=psd(n, 0.3)[:, 0],
+    )
+    mu = jnp.zeros((B,), dtype)
+    bounds = Bounds(
+        low=jnp.full((m,), -0.4, dtype), high=jnp.full((m,), 0.4, dtype)
+    )
+    Ubar = jnp.asarray(0.2 * rng.standard_normal((B, T, m)), dtype)
+    return lin, quad, final, mu, bounds, Ubar
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--horizon", type=int, default=100)
+    ap.add_argument("--dims", default="16,24")
+    ap.add_argument("--boxqp-only", action="store_true")
+    args = ap.parse_args()
+
+    import dataclasses
+
+    from tfmpc_tpu.ops.riccati_mid_pallas import (
+        riccati_backward_mid, riccati_backward_mid_boxqp,
+    )
+    from tfmpc_tpu.solvers import ilqr
+
+    B, T = args.batch, args.horizon
+    rng = np.random.default_rng(0)
+    for d in (int(x) for x in args.dims.split(",")):
+        n = m = d
+        lin, quad, final, mu, bounds, Ubar = _synthetic(rng, B, T, n, m)
+        variants = []
+        if not args.boxqp_only:
+            cfg = ilqr.ILQRConfig()
+            variants += [
+                ("scan", lambda e: jnp.sum(jax.vmap(
+                    lambda l, q, f, mv: ilqr.backward(l, q, f, mv, cfg)
+                )(dataclasses.replace(lin, f_x=lin.f_x + e), quad, final, mu
+                )[1].k)),
+                ("mid-kernel", lambda e: jnp.sum(riccati_backward_mid(
+                    dataclasses.replace(lin, f_x=lin.f_x + e), quad, final, mu
+                )[1].k)),
+            ]
+        cfgb = ilqr.ILQRConfig(boxqp=True, boxqp_iters=8)
+        variants += [
+            ("scan-boxqp", lambda e: jnp.sum(jax.vmap(
+                lambda l, q, f, mv, u: ilqr.backward(
+                    l, q, f, mv, cfgb, bounds=bounds, Ubar=u)
+            )(dataclasses.replace(lin, f_x=lin.f_x + e), quad, final, mu,
+              Ubar)[1].k)),
+            ("mid-kernel-boxqp", lambda e: jnp.sum(
+                riccati_backward_mid_boxqp(
+                    dataclasses.replace(lin, f_x=lin.f_x + e), quad, final,
+                    mu, bounds, Ubar, boxqp_iters=8
+                )[1].k)),
+        ]
+        times = {}
+        for name, make in variants:
+            ms, comp = _timed(make)
+            times[name] = ms
+            print(json.dumps({
+                "dims": d, "variant": name, "ms_per_backward": round(ms, 3),
+                "compile_s": round(comp, 1), "batch": B, "horizon": T,
+            }), flush=True)
+        for a, b in (("scan", "mid-kernel"), ("scan-boxqp", "mid-kernel-boxqp")):
+            if a in times and b in times:
+                print(json.dumps({
+                    "dims": d, "speedup": f"{a} / {b}",
+                    "x": round(times[a] / times[b], 1),
+                }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

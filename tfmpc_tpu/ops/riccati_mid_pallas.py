@@ -192,11 +192,12 @@ def _boxqp_rows(H, q, lo, hi, m, newton_iters, ls_alphas, grad_tol=1e-8):
 
     def masked_system(free):
         rows = []
+        iota = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
         for a in range(m):
             fa = _srow(free, a)
-            row = fa * free.reshape(m, -1) * H[a * m:(a + 1) * m, :]
+            row = fa * free * H[a * m:(a + 1) * m, :]
             # clamped diagonal -> 1 (shape-static masked free system)
-            one_hot = jnp.zeros((m, 1), H.dtype).at[a, 0].set(1.0)
+            one_hot = (iota == a).astype(H.dtype)
             row = row + one_hot * (1.0 - fa)
             rows.append(row)
         return jnp.concatenate(rows, axis=0)
@@ -236,7 +237,7 @@ def _boxqp_rows(H, q, lo, hi, m, newton_iters, ls_alphas, grad_tol=1e-8):
     g = q + hx(x)
     free = free_mask(x, g)
     L_free, fail, invd = _chol_rows(
-        masked_system(free), m, jnp.zeros_like(done[0:1, :])[0:1, :] * 0.0
+        masked_system(free), m, jnp.zeros_like(done)
     )
     return x, free, L_free, invd, fail
 
@@ -268,14 +269,17 @@ def _mid_step(n, m, fx, fu, lx, lu, lxx, luu, lux, mu, qp, V, v,
     Lr, fail, invd = _chol_rows(QuuR, m, fail)
 
     if qp is not None:
-        lo, hi = qp
+        lo, hi, qp_iters, qp_alphas = qp
         k, free, L_free, invd_f, fail_qp = _boxqp_rows(
-            QuuR, Qu, lo, hi, m, qp[2], qp[3]
+            QuuR, Qu, lo, hi, m, qp_iters, qp_alphas
         )
         fail = jnp.where(fail_qp > 0.0, 1.0, fail)
         # K rows through the masked free system, clamped rows exactly zero.
-        rhs = free.reshape(m, 1, -1) * QuxR.reshape(m, n, -1)
-        K = -_chol_solve_rows(L_free, invd_f, m, rhs.reshape(m * n, -1), n)
+        rhs = jnp.concatenate(
+            [_srow(free, a) * QuxR[a * n:(a + 1) * n, :] for a in range(m)],
+            axis=0,
+        )
+        K = -_chol_solve_rows(L_free, invd_f, m, rhs, n)
     else:
         k = -_chol_solve_rows(Lr, invd, m, Qu, 1)
         K = -_chol_solve_rows(Lr, invd, m, QuxR, n)
