@@ -104,6 +104,34 @@ def config3_hvac(quick: bool):
             {"frac_converged": float(jnp.mean(res.converged.astype("f4")))})
 
 
+def config3b_hvac16_middim(quick: bool):
+    """Mid-dim kernel showcase (round-2): 16-room HVAC ring, beyond the
+    lane kernel's n,m <= 12 — routed to ops/riccati_mid_pallas.py."""
+    from tfmpc_tpu.models.registry import load_env
+    from tfmpc_tpu.solvers import ilqr
+
+    import os
+
+    env = load_env(
+        os.path.join(os.path.dirname(__file__), "..", "configs", "hvac16.json")
+    )
+    B = 128 if quick else 512
+    x0 = jnp.asarray(
+        np.random.default_rng(0).uniform(8, 18, size=(B, 16)).astype("f4")
+    )
+    cfg = ilqr.ILQRConfig(
+        atol=1e-2, max_iterations=20, boxqp=True, use_pallas=True
+    )
+    fn = lambda: float(jnp.sum(
+        ilqr.solve_batch(env, x0, horizon=50, config=cfg).total_cost
+    ))
+    solves = _throughput(fn, B, 1.0 if quick else 3.0)
+    res = ilqr.solve_batch(env, x0, horizon=50, config=cfg)
+    _report("3b", f"iLQR HVAC-16 boxQP T=50 B={B} (mid-dim kernel)",
+            solves, "solves/s",
+            {"frac_converged": float(jnp.mean(res.converged.astype("f4")))})
+
+
 def config4_reservoir_t500(quick: bool):
     from tfmpc_tpu.models.reservoir import make_reservoir
     from tfmpc_tpu.solvers import ilqr
@@ -182,7 +210,8 @@ def main():
                     help="small batches / short timing windows")
     args = ap.parse_args()
     for fn in (config1_lqr_linear_nav, config2_nav_ilqr, config3_hvac,
-               config4_reservoir_t500, config5_sharded):
+               config3b_hvac16_middim, config4_reservoir_t500,
+               config5_sharded):
         fn(args.quick)
 
 
