@@ -115,6 +115,63 @@ def main():
         kkt < 5e-3,
     ))
 
+    # lane-kernel parity at its dimension ceiling (n = m = 12): CPU
+    # interpret tracing is impractical there (round-1 weak #4), so the
+    # parity pin lives here, on the real chip, against the scan backward.
+    import dataclasses
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from test_riccati_mid import _synthetic
+
+    from tfmpc_tpu.core.types import Bounds
+    from tfmpc_tpu.ops.riccati_pallas import (
+        riccati_backward_boxqp_pallas, riccati_backward_pallas,
+    )
+
+    rng12 = np.random.default_rng(12)
+    lin12, quad12, fin12, mu12 = _synthetic(
+        rng12, 128, 6, 12, 12, dtype=jnp.float32
+    )
+    cfg12 = ilqr.ILQRConfig()
+    # the scan reference MUST run at highest matmul precision — without it
+    # the comparison measures the reference's bf16 matmul passes (~5e-3
+    # apparent "deviation"), not the kernel (CLAUDE.md invariant)
+    with jax.default_matmul_precision("highest"):
+        ok_s, pol_s, _, _ = jax.jit(jax.vmap(
+            lambda l, q, f, mv: ilqr.backward(l, q, f, mv, cfg12)
+        ))(lin12, quad12, fin12, mu12)
+    ok_k, pol_k, _, _ = riccati_backward_pallas(lin12, quad12, fin12, mu12)
+    dev12 = float(jnp.max(jnp.abs(pol_k.K - pol_s.K)))
+    checks.append((
+        f"lane kernel n=m=12 matches scan backward on chip "
+        f"(max K dev {dev12:.2e})",
+        bool(jnp.all(ok_s == ok_k)) and dev12 < 1e-4,
+    ))
+    bounds12 = Bounds(
+        low=jnp.full((12,), -0.4, jnp.float32),
+        high=jnp.full((12,), 0.4, jnp.float32),
+    )
+    Ubar12 = jnp.asarray(
+        0.2 * rng12.standard_normal((128, 6, 12)), jnp.float32
+    )
+    cfgb12 = ilqr.ILQRConfig(boxqp=True, boxqp_iters=4)
+    with jax.default_matmul_precision("highest"):
+        okb_s, polb_s, _, _ = jax.jit(jax.vmap(
+            lambda l, q, f, mv, u: ilqr.backward(
+                l, q, f, mv, cfgb12, bounds=bounds12, Ubar=u
+            )
+        ))(lin12, quad12, fin12, mu12, Ubar12)
+    okb_k, polb_k, _, _ = riccati_backward_boxqp_pallas(
+        lin12, quad12, fin12, mu12, bounds12, Ubar12, boxqp_iters=4
+    )
+    devb12 = float(jnp.max(jnp.abs(polb_k.K - polb_s.K)))
+    checks.append((
+        f"lane boxQP kernel n=m=12 matches scan backward on chip "
+        f"(max K dev {devb12:.2e})",
+        bool(jnp.all(okb_s == okb_k)) and devb12 < 1e-3,
+    ))
+
     # config 4: reservoir long horizon
     rr = ilqr.solve(
         make_reservoir(5), jnp.asarray([95.0, 80.0, 60.0, 40.0, 20.0]),

@@ -66,7 +66,7 @@ def _synthetic(rng, B, T, n, m, dtype=jnp.float64, contraction=0.9):
     return lin, quad, final, mu
 
 
-@pytest.mark.parametrize("n,m", [(10, 9), (16, 16)])
+@pytest.mark.parametrize("n,m", [(10, 9), (12, 12), (16, 16)])
 def test_mid_kernel_matches_scan(n, m):
     rng = np.random.default_rng(5)
     B, T = 128, 4
