@@ -170,6 +170,24 @@ class Env:
         """
         return self.generic_lane_functions()
 
+    def lane_derivatives(self):
+        """Optional lane-major CLOSED-FORM per-step derivatives hook.
+
+        Returns ``(params, derivs_fn)`` or ``None``. ``derivs_fn(params,
+        x [n, L], u [m, L])`` must return a dict of row-major entry blocks::
+
+            fx [n*n, L], fu [n*m, L], lx [n, L], lu [m, L],
+            lxx [n*n, L], luu [m*m, L], lux [m*n, L]
+
+        matching ``analytic_derivatives`` exactly (pinned per env in tests).
+        When present (and ``use_pallas``), the solver fuses linearization
+        into the accepted-trajectory materialize kernel — the rollout
+        already holds (x, u) in registers, so the whole XLA derivatives
+        stage and its layout transposes disappear from the iteration
+        (ops/rollout_pallas.py::rollout_alpha_derivs_pallas).
+        """
+        return None
+
     def generic_lane_functions(self):
         """Lane-major kernel functions derived from the public API.
 

@@ -122,6 +122,63 @@ class Navigation(Env):
         final = QuadraticFinal(l=jnp.sum(dT * dT), l_x=2.0 * dT, l_xx=2.0 * I)
         return lin, quad, final
 
+    def lane_derivatives(self):
+        """Lane-major closed-form linearization (mirrors
+        ``analytic_derivatives``; consumed by the fused materialize+derivs
+        kernel). Row-major entry blocks over [*, L] lanes."""
+        params = {
+            "goal": self.goal,
+            "centers": self.centers,
+            "decays": self.decays,
+        }
+        n = self.state_size
+
+        def derivs_fn(p, x, u):  # x [n, L], u [n, L]
+            centers, decays = p["centers"], p["decays"]
+            Z = centers.shape[0]
+            L = x.shape[-1]
+            one = jnp.ones((1, x.shape[-1]), x.dtype)
+            lam = one[0]
+            # dlam[i]: gradient of the deceleration product
+            dlam = [jnp.zeros_like(x[0]) for _ in range(n)]
+            gs = []
+            for z in range(Z):
+                d2 = sum((x[i] - centers[z, i]) ** 2 for i in range(n))
+                dist = jnp.sqrt(d2 + _NORM_EPS)
+                g = 2.0 / (1.0 + jnp.exp(-decays[z] * dist)) - 1.0
+                gs.append((g, dist, z))
+                lam = lam * g
+            for g, dist, z in gs:
+                gp = decays[z] * (1.0 - g * g) / 2.0
+                coef = jnp.where(g != 0.0, lam / g, 0.0) * gp / dist
+                for i in range(n):
+                    dlam[i] = dlam[i] + coef * (x[i] - centers[z, i])
+
+            # f_x = I + u dlam^T ; f_u = lam I  (row-major entries)
+            fx = jnp.concatenate([
+                (u[i] * dlam[j] + (1.0 if i == j else 0.0)).reshape(1, -1)
+                for i in range(n) for j in range(n)
+            ], axis=0)
+            fu = jnp.concatenate([
+                (lam if i == j else jnp.zeros_like(lam)).reshape(1, -1)
+                for i in range(n) for j in range(n)
+            ], axis=0)
+            lx = jnp.concatenate([
+                (2.0 * (x[i] - p["goal"][i])).reshape(1, -1) for i in range(n)
+            ], axis=0)
+            zeros_r = jnp.zeros((1, L), x.dtype)
+            lu = jnp.concatenate([zeros_r] * n, axis=0)
+            lxx = jnp.concatenate([
+                (2.0 * one if i == j else 0.0 * one)
+                for i in range(n) for j in range(n)
+            ], axis=0)
+            luu = jnp.concatenate([zeros_r] * (n * n), axis=0)
+            lux = jnp.concatenate([zeros_r] * (n * n), axis=0)
+            return dict(fx=fx, fu=fu, lx=lx, lu=lu, lxx=lxx, luu=luu,
+                        lux=lux)
+
+        return params, derivs_fn
+
     def lane_functions(self):
         """Lane-major dynamics/cost for the fused Pallas rollout kernels."""
         params = {

@@ -206,6 +206,169 @@ def _materialize_kernel(T, TB, n, m, step_fn, final_fn, treedef, orig_leaves,
     return kernel
 
 
+def _materialize_derivs_kernel(T, TB, n, m, step_fn, final_fn, derivs_fn,
+                               treedef, orig_leaves, n_params, has_bounds):
+    """Materialize kernel that ALSO emits the closed-form linearization of
+    the new trajectory (``Env.lane_derivatives``), in the Riccati kernels'
+    row-major [T, entries, B] layout. The rollout already holds (x_t, u_t)
+    in registers, so the entire XLA derivatives stage (and its layout
+    transposes) disappears from the solver iteration. All stores buffered
+    to block end (the measured time-blocking rule, CLAUDE.md)."""
+    D_KEYS = ("fx", "fu", "lx", "lu", "lxx", "luu", "lux")
+
+    def kernel(*refs):
+        (alpha_ref, xbar_ref, ubar_ref, K_ref, k_ref) = refs[:5]
+        idx = 5
+        if has_bounds:
+            lo_ref, hi_ref = refs[idx], refs[idx + 1]
+            idx += 2
+        param_refs = refs[idx: idx + n_params]
+        out_refs = refs[idx + n_params: idx + n_params + 3 + len(D_KEYS)]
+        X_ref, U_ref, J_ref = out_refs[:3]
+        d_refs = dict(zip(D_KEYS, out_refs[3:]))
+        x_s, J_s = refs[idx + n_params + 3 + len(D_KEYS):]
+
+        t = pl.program_id(1)
+        params = _read_params(param_refs, treedef, orig_leaves)
+        sparams, dparams = params["s"], params["d"]
+
+        @pl.when(t == 0)
+        def _init():
+            x_s[:, :] = xbar_ref[0, :, :]
+            J_s[:, :] = jnp.zeros_like(J_s)
+
+        alpha = alpha_ref[0, :]
+        x = x_s[:, :]
+        Jrow = J_s[0, :]
+
+        bufX, bufU, bufD = [], [], []
+        for tl in range(TB):
+            xbar = xbar_ref[tl, :, :]
+            ubar = ubar_ref[tl, :, :]
+            K = K_ref[tl, :, :]
+            kv = k_ref[tl, :, :]
+
+            dx = [x[i] - xbar[i] for i in range(n)]
+            u_rows = []
+            for b in range(m):
+                u = ubar[b] + alpha * kv[b]
+                u = u + sum(K[b * n + i] * dx[i] for i in range(n))
+                if has_bounds:
+                    u = jnp.clip(u, lo_ref[b, 0], hi_ref[b, 0])
+                u_rows.append(u)
+            u_mat = jnp.stack(u_rows)
+            bufD.append(derivs_fn(dparams, x, u_mat))
+            x_next, cost = step_fn(sparams, x, u_mat)
+            Jrow = Jrow + cost
+            if final_fn is not None and tl == TB - 1:
+                Jrow = jnp.where(
+                    t == T // TB - 1, Jrow + final_fn(sparams, x_next), Jrow
+                )
+            bufX.append(x_next)
+            bufU.append(u_mat)
+            x = x_next
+
+        for tl in range(TB):
+            X_ref[tl, :, :] = bufX[tl]
+            U_ref[tl, :, :] = bufU[tl]
+            for key in D_KEYS:
+                d_refs[key][tl, :, :] = bufD[tl][key]
+        x_s[:, :] = x
+        J_s[0, :] = Jrow
+        J_ref[:, :] = J_s[:, :]
+
+    return kernel
+
+
+def rollout_alpha_derivs_pallas(env, X, U, policy, alpha_vec,
+                                time_block=None, policy_lane=None):
+    """Materialize each scenario's accepted-alpha rollout AND its
+    linearization in one fused kernel.
+
+    Returns ``(X_new [B, T+1, n], U_new [B, T, m], J [B], kargs)`` where
+    ``kargs`` is the dict of row-major [T, entries, B] blocks the Riccati
+    kernels consume directly (fx, fu, lx, lu, lxx, luu, lux) — no separate
+    derivatives stage, no layout transposes. Requires both
+    ``env.lane_functions()`` and ``env.lane_derivatives()``.
+    """
+    lane = env.lane_functions()
+    ld = env.lane_derivatives()
+    assert lane is not None and ld is not None
+    params = {"s": lane[0], "d": ld[0]}
+    step_fn, final_fn, derivs_fn = lane[1], lane[2], ld[1]
+    B, T, m = U.shape
+    n = X.shape[-1]
+
+    xbar = jnp.transpose(X[:, :-1], (1, 2, 0))
+    ubar = jnp.transpose(U, (1, 2, 0))
+    if policy_lane is not None:
+        Kk, kk = policy_lane
+    else:
+        Kk = jnp.transpose(policy.K.reshape(B, T, m * n), (1, 2, 0))
+        kk = jnp.transpose(policy.k, (1, 2, 0))
+    alpha2 = alpha_vec.astype(X.dtype).reshape(1, B)
+
+    leaves2d, treedef, orig_leaves = _param_inputs(params)
+    has_bounds = env.bounds is not None
+    BB = _choose_bb(B)
+    nb = B // BB
+    # TB=2, not the plain-materialize heuristic: this variant buffers ~6x
+    # more output rows per step (the derivative blocks), and larger blocks
+    # spill registers (measured on chip at B=4096 T=100 nav:
+    # TB 1/2/5/10 -> 1.45/1.20/1.76/1.89 ms).
+    TB = _choose_tb(T, limit=2) if time_block is None else time_block
+
+    in_specs, bmap2 = _common_specs(T, TB, n, m, BB, has_bounds, leaves2d)
+    in_specs = [pl.BlockSpec((1, BB), bmap2, memory_space=pltpu.VMEM)] + in_specs
+    inputs = [alpha2, xbar, ubar, Kk, kk]
+    if has_bounds:
+        inputs += [env.bounds.low.reshape(m, 1), env.bounds.high.reshape(m, 1)]
+    inputs += leaves2d
+
+    tmap = lambda bi, t: (t, 0, bi)
+    d_entries = dict(fx=n * n, fu=n * m, lx=n, lu=m, lxx=n * n, luu=m * m,
+                     lux=m * n)
+    d_keys = ("fx", "fu", "lx", "lu", "lxx", "luu", "lux")
+    out = pl.pallas_call(
+        _materialize_derivs_kernel(T, TB, n, m, step_fn, final_fn, derivs_fn,
+                                   treedef, orig_leaves, len(leaves2d),
+                                   has_bounds),
+        grid=(nb, T // TB),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((TB, n, BB), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, m, BB), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB), bmap2, memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((TB, d_entries[key], BB), tmap,
+                         memory_space=pltpu.VMEM)
+            for key in d_keys
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, n, B), X.dtype),
+            jax.ShapeDtypeStruct((T, m, B), X.dtype),
+            jax.ShapeDtypeStruct((1, B), X.dtype),
+        ] + [
+            jax.ShapeDtypeStruct((T, d_entries[key], B), X.dtype)
+            for key in d_keys
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, BB), X.dtype),
+            pltpu.VMEM((1, BB), X.dtype),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(*inputs)
+
+    X_out, U_out, J = out[:3]
+    kargs = dict(zip(d_keys, out[3:]))
+    X_new = jnp.concatenate(
+        [X[:, :1], jnp.transpose(X_out, (2, 0, 1))], axis=1
+    )
+    U_new = jnp.transpose(U_out, (2, 0, 1))
+    J_new = jnp.where(jnp.isfinite(J[0]), J[0], jnp.inf)
+    return X_new, U_new, J_new, kargs
+
+
 def _common_specs(T, TB, n, m, BB, has_bounds, param_arrays):
     tmap = lambda bi, t: (t, 0, bi)
     bmap2 = lambda bi, t: (0, bi)
@@ -228,11 +391,14 @@ def _common_specs(T, TB, n, m, BB, has_bounds, param_arrays):
 
 
 def linesearch_costs_pallas(env, X, U, policy, alphas,
-                            time_block=None) -> jax.Array:
+                            time_block=None, policy_lane=None) -> jax.Array:
     """Total cost of the closed-loop rollout for every (scenario, alpha).
 
     X: [B, T+1, n], U: [B, T, m], policy.K: [B, T, m, n], policy.k: [B, T, m],
     alphas: [A] (static values). Returns J_all [B, A].
+    ``policy_lane``: optional pre-transposed gains ``(K [T, m*n, B],
+    k [T, m, B])`` — the Riccati kernels' native output layout (the fused
+    solver path passes them straight through, skipping the transposes).
     """
     lane = env.lane_functions()
     assert lane is not None
@@ -245,8 +411,11 @@ def linesearch_costs_pallas(env, X, U, policy, alphas,
 
     xbar = jnp.transpose(X[:, :-1], (1, 2, 0))          # [T, n, B]
     ubar = jnp.transpose(U, (1, 2, 0))                  # [T, m, B]
-    Kk = jnp.transpose(policy.K.reshape(B, T, m * n), (1, 2, 0))
-    kk = jnp.transpose(policy.k, (1, 2, 0))
+    if policy_lane is not None:
+        Kk, kk = policy_lane
+    else:
+        Kk = jnp.transpose(policy.K.reshape(B, T, m * n), (1, 2, 0))
+        kk = jnp.transpose(policy.k, (1, 2, 0))
 
     leaves2d, treedef, orig_leaves = _param_inputs(params)
     has_bounds = env.bounds is not None

@@ -69,6 +69,19 @@ class ILQRConfig:
     # kernel (ops/riccati_pallas.py) where eligible (TPU, small n/m,
     # unconstrained backward). Ignored by the single-scenario path.
     use_pallas: bool = False
+    # EXPERIMENTAL, measured SLOWER at the shipped dims — default off.
+    # With use_pallas, fuse the linearization into the materialize kernel
+    # for envs providing ``lane_derivatives`` and exchange kernel-layout
+    # blocks between all stages (no XLA derivatives stage, no transposes).
+    # Semantics are pinned equal to the split pipeline
+    # (tests/test_fused_derivs.py), but on chip the split pipeline wins
+    # (nav B=4096 T=100: 91.8k vs 83.2k solves/s; single fused iteration
+    # 2.43 vs 2.26 ms) — inside one compiled program XLA overlaps the
+    # cheap linearization fine, re-confirming round-1's "fusion pays for
+    # the sequential chain, not the linearization" finding at the
+    # pipeline level. Kept as an option for larger-dim lane_derivatives
+    # envs where the tradeoff may flip.
+    fuse_derivatives: bool = False
     # O(log T) associative-scan backward pass (solvers/lqr_parallel.py::
     # ilqr_backward_parallel) — the long-horizon path (reservoir T=500,
     # BASELINE config 4). Uses cost-style Levenberg regularization with

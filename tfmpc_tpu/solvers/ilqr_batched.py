@@ -210,7 +210,8 @@ def _backward_restarts_batched(
     return _restart_loop_compacted(attempt, attempt_sub, mu, delta, config, R)
 
 
-def _restart_loop_compacted(attempt, attempt_sub, mu, delta, config, R):
+def _restart_loop_compacted(attempt, attempt_sub, mu, delta, config, R,
+                            policy_batch_last=False):
     """Restart loop re-running ONLY (up to R) failing lanes per round.
 
     ``jnp.argsort`` over the needs mask gathers the failing lanes to the
@@ -250,9 +251,16 @@ def _restart_loop_compacted(attempt, attempt_sub, mu, delta, config, R):
             m = sel.reshape((-1,) + (1,) * (subv.ndim - 1))
             return full.at[idx].set(jnp.where(m, subv, full[idx]))
 
+        def scatter_pol(full, subv):
+            if not policy_batch_last:
+                return scatter(full, subv)
+            # kernel-layout policy blocks carry the batch on the LAST axis
+            m = sel.reshape((1,) * (subv.ndim - 1) + (-1,))
+            return full.at[..., idx].set(jnp.where(m, subv, full[..., idx]))
+
         return (
             scatter(ok, ok_s),
-            jax.tree_util.tree_map(scatter, policy, policy_s),
+            jax.tree_util.tree_map(scatter_pol, policy, policy_s),
             scatter(dV1, dV1_s),
             scatter(dV2, dV2_s),
             mu_new,
@@ -266,7 +274,8 @@ def _restart_loop_compacted(attempt, attempt_sub, mu, delta, config, R):
     return ok, policy, dV1, dV2, mu, delta
 
 
-def _restart_loop(attempt, mu, delta, config: ILQRConfig):
+def _restart_loop(attempt, mu, delta, config: ILQRConfig,
+                  policy_batch_last=False):
     ok0, policy0, dV10, dV20 = attempt(mu)
     tries0 = jnp.zeros_like(mu, dtype=jnp.int32)
 
@@ -285,9 +294,13 @@ def _restart_loop(attempt, mu, delta, config: ILQRConfig):
         delta_new = jnp.where(needs, delta_inc, delta)
         ok_n, policy_n, dV1_n, dV2_n = attempt(mu_new)
         # merge only the lanes that actually restarted
-        sel = lambda new, old: jnp.where(
-            needs.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
-        )
+        def sel(new, old):
+            if policy_batch_last and new.ndim > 1:
+                mask = needs.reshape((1,) * (new.ndim - 1) + (-1,))
+            else:
+                mask = needs.reshape((-1,) + (1,) * (new.ndim - 1))
+            return jnp.where(mask, new, old)
+
         return (
             jnp.where(needs, ok_n, ok),
             jax.tree_util.tree_map(sel, policy_n, policy),
@@ -302,6 +315,209 @@ def _restart_loop(attempt, mu, delta, config: ILQRConfig):
         cond, body, (ok0, policy0, dV10, dV20, mu, delta, tries0)
     )
     return ok, policy, dV1, dV2, mu, delta
+
+
+def _use_fused_derivs(env: Env, config: ILQRConfig, B: int) -> bool:
+    """Eligibility for the fully-fused iteration (derivatives emitted by the
+    materialize kernel, all stages exchanging kernel-layout blocks)."""
+    if not getattr(config, "use_pallas", False):
+        return False
+    if not getattr(config, "fuse_derivatives", True):
+        return False
+    if getattr(config, "parallel_backward", False):
+        return False
+    if B % 128 != 0:
+        return False
+    dim_limit = 8 if jax.default_backend() == "cpu" else 12
+    if env.state_size > dim_limit or env.action_size > dim_limit:
+        return False
+    return (
+        env.lane_functions() is not None
+        and env.lane_derivatives() is not None
+    )
+
+
+def _backward_restarts_klayout(env: Env, kargs, x_last, mu, delta,
+                               config: ILQRConfig, Ubar):
+    """Backward + restart loop over kernel-layout [T, entries, B] blocks.
+
+    The fused-iteration twin of ``_backward_restarts_batched``: consumes the
+    linearization blocks the materialize kernel emitted (no transposes) and
+    returns the policy in the kernel layout ``(K [T, m*n, B], k [T, m, B])``
+    that the rollout kernels take straight back.
+    """
+    from tfmpc_tpu.ops.riccati_pallas import _riccati_pallas_raw
+
+    n, m = env.state_size, env.action_size
+    B = mu.shape[0]
+    dtype = kargs["fx"].dtype
+    finq = jax.vmap(env.get_quadratic_final_cost)(x_last)
+    VT = jnp.transpose(finq.l_xx.reshape(B, n * n), (1, 0))
+    vT = jnp.transpose(finq.l_x, (1, 0))
+    use_boxqp = config.boxqp and env.bounds is not None
+    if use_boxqp:
+        ubark = jnp.transpose(Ubar, (1, 2, 0)).astype(dtype)
+        lo = jnp.broadcast_to(env.bounds.low, (m,)).astype(dtype).reshape(m, 1)
+        hi = jnp.broadcast_to(env.bounds.high, (m,)).astype(dtype).reshape(m, 1)
+    interpret = jax.default_backend() == "cpu"
+
+    def raw(ka, VT_, vT_, mu_v, ubark_=None):
+        muk = mu_v.astype(dtype).reshape(1, -1)
+        if use_boxqp:
+            return _riccati_pallas_raw(
+                ka["fx"], ka["fu"], ka["lx"], ka["lu"], ka["lxx"],
+                ka["luu"], ka["lux"], muk, VT_, vT_, ubark_, lo, hi,
+                interpret=interpret, boxqp_iters=config.boxqp_iters,
+            )
+        return _riccati_pallas_raw(
+            ka["fx"], ka["fu"], ka["lx"], ka["lu"], ka["lxx"],
+            ka["luu"], ka["lux"], muk, VT_, vT_, interpret=interpret,
+        )
+
+    def unpack(out):
+        K, k, dV1, dV2, fail = out
+        return fail[0] == 0.0, (K, k), dV1[0], dV2[0]
+
+    def attempt(mu_v):
+        return unpack(raw(kargs, VT, vT, mu_v,
+                          ubark if use_boxqp else None))
+
+    R = _RESTART_SUB_BATCH
+    if B <= R:
+        return _restart_loop(attempt, mu, delta, config,
+                             policy_batch_last=True)
+
+    def attempt_sub(idx, mu_sub):
+        sub = lambda a: jnp.take(a, idx, axis=-1)   # lanes are last
+        ka_s = {key: sub(v) for key, v in kargs.items()}
+        return unpack(raw(ka_s, sub(VT), sub(vT), mu_sub,
+                          sub(ubark) if use_boxqp else None))
+
+    return _restart_loop_compacted(
+        attempt, attempt_sub, mu, delta, config, R, policy_batch_last=True
+    )
+
+
+def _iteration_fused(env: Env, state: _BatchState, kargs,
+                     config: ILQRConfig, alphas):
+    """Fully-fused iteration: linearization blocks flow between the Pallas
+    kernels in their native [T, entries, B] layout, and the derivatives of
+    the accepted trajectory are emitted BY the materialize kernel — no
+    separate derivatives stage. Semantics pinned equal to
+    ``_iteration_batched`` (tests/test_fused_derivs.py)."""
+    from tfmpc_tpu.ops.rollout_pallas import (
+        linesearch_costs_pallas,
+        rollout_alpha_derivs_pallas,
+    )
+
+    active = (
+        (state.iteration < config.max_iterations)
+        & ~state.converged
+        & ~state.failed
+    )
+
+    with jax.named_scope("ilqr.backward"):
+        ok, pol_lane, dV1, dV2, mu, delta = _backward_restarts_klayout(
+            env, kargs, state.X[:, -1], state.mu, state.delta, config,
+            state.U,
+        )
+
+    with jax.named_scope("ilqr.linesearch"):
+        J_all = linesearch_costs_pallas(
+            env, state.X, state.U, None, config.alphas_static(),
+            policy_lane=pol_lane,
+        )
+
+    expected = -(alphas[None, :] * dV1[:, None] + alphas[None, :] ** 2 * dV2[:, None])
+    z = (state.J[:, None] - J_all) / jnp.where(expected > 0, expected, 1.0)
+    accepted = jnp.where(
+        expected > 0.0, z > config.accept_ratio, J_all < state.J[:, None]
+    )
+    accepted = accepted & ok[:, None]
+
+    at_optimum = ok & (-(dV1 + dV2) < config.atol)
+
+    any_accepted = jnp.any(accepted, axis=1)
+    best = jnp.argmax(accepted, axis=1)
+    with jax.named_scope("ilqr.materialize"):
+        X_best, U_best, J_best, kargs_cand = rollout_alpha_derivs_pallas(
+            env, state.X, state.U, None, alphas[best], policy_lane=pol_lane
+        )
+
+    upd = active & any_accepted
+    sel = lambda new, old: jnp.where(
+        upd.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+    )
+    X_new = sel(X_best, state.X)
+    U_new = sel(U_best, state.U)
+    J_new = jnp.where(upd, J_best, state.J)
+    mlane = upd.reshape(1, 1, -1)
+    kargs_new = {
+        key: jnp.where(mlane, kargs_cand[key], kargs[key]) for key in kargs
+    }
+
+    if env.bounds is not None:
+        with jax.named_scope("ilqr.kkt"):
+            B = U_new.shape[0]
+
+            def _kkt(_):
+                g = jax.vmap(jax.grad(env.total_cost, argnums=1))(
+                    state.X[:, 0], U_new
+                )
+                pg = U_new - env.clip(U_new - g)
+                return jnp.max(jnp.abs(pg), axis=(1, 2)) < config.kkt_atol
+
+            stationary = jax.lax.cond(
+                jnp.any(active & ~any_accepted),
+                _kkt, lambda _: jnp.zeros((B,), bool), None,
+            ) & ~any_accepted
+        at_optimum = at_optimum | stationary
+
+    residual = jnp.where(
+        any_accepted, state.J - J_new, jnp.where(at_optimum, 0.0, jnp.inf)
+    )
+
+    mu_dec, delta_dec = _decrease_mu(mu, delta, config)
+    mu_inc, delta_inc = _increase_mu(mu, delta, config)
+    good = any_accepted | at_optimum
+    mu_next = jnp.where(active, jnp.where(good, mu_dec, mu_inc), state.mu)
+    delta_next = jnp.where(active, jnp.where(good, delta_dec, delta_inc), state.delta)
+
+    converged_now = at_optimum | (any_accepted & (jnp.abs(residual) < config.atol))
+    failed_now = (~any_accepted) & ~at_optimum & (mu_next >= config.mu_max)
+
+    new_state = _BatchState(
+        X=X_new,
+        U=U_new,
+        J=J_new,
+        mu=mu_next,
+        delta=delta_next,
+        iteration=state.iteration + active.astype(jnp.int32),
+        converged=jnp.where(active, converged_now, state.converged),
+        failed=jnp.where(active, state.failed | failed_now, state.failed),
+        residual=jnp.where(active, residual, state.residual),
+    )
+    aux = _IterationAux(
+        alpha=jnp.where(upd, alphas[best], 0.0),
+        accepted=upd,
+    )
+    return new_state, kargs_new, aux
+
+
+def _initial_kargs(env: Env, X, U):
+    """Linearization blocks of the initial trajectory, in kernel layout:
+    one materialize+derivs pass with a zero policy at alpha = 0 (the rolled
+    trajectory is the nominal one, only the derivative outputs are used)."""
+    from tfmpc_tpu.ops.rollout_pallas import rollout_alpha_derivs_pallas
+
+    B, T, m = U.shape
+    n = X.shape[-1]
+    zeroK = jnp.zeros((T, m * n, B), X.dtype)
+    zerok = jnp.zeros((T, m, B), X.dtype)
+    _, _, _, kargs = rollout_alpha_derivs_pallas(
+        env, X, U, None, jnp.zeros((B,), X.dtype), policy_lane=(zeroK, zerok)
+    )
+    return kargs
 
 
 def _linesearch_batched(env: Env, X, U, policy, alphas):
@@ -560,35 +776,60 @@ def _solve_batch_impl(env, x0, U0, horizon, config, init_state=None,
             residual=jnp.full((B,), jnp.inf, x0.dtype),
         )
     alphas = config.alphas(init.X.dtype)
+    fused = _use_fused_derivs(env, config, init.X.shape[0])
+
+    def active_any(state: _BatchState):
+        active = (
+            (state.iteration < config.max_iterations)
+            & ~state.converged
+            & ~state.failed
+        )
+        return jnp.any(active)
+
+    def trace_row(new_state, aux):
+        return ILQRTrace(
+            J=new_state.J,
+            residual=new_state.residual,
+            mu=new_state.mu,
+            alpha=aux.alpha,
+            accepted=aux.accepted,
+            converged=new_state.converged,
+        )
 
     trace = None
-    if return_trace:
+    if fused:
+        # Fully-fused pipeline: the loop carries the linearization blocks
+        # in kernel layout; the materialize kernel refreshes them.
+        kargs0 = _initial_kargs(env, init.X, init.U)
+        if return_trace:
+            def scan_step(carry, _):
+                state, kargs = carry
+                new_state, kargs_new, aux = _iteration_fused(
+                    env, state, kargs, config, alphas
+                )
+                return (new_state, kargs_new), trace_row(new_state, aux)
+
+            (final_state, _), trace = jax.lax.scan(
+                scan_step, (init, kargs0), None, length=config.max_iterations
+            )
+        else:
+            final_state, _ = jax.lax.while_loop(
+                lambda c: active_any(c[0]),
+                lambda c: _iteration_fused(env, c[0], c[1], config, alphas)[:2],
+                (init, kargs0),
+            )
+    elif return_trace:
         def scan_step(state, _):
             new_state, aux = _iteration_batched(env, state, config, alphas)
-            row = ILQRTrace(
-                J=new_state.J,
-                residual=new_state.residual,
-                mu=new_state.mu,
-                alpha=aux.alpha,
-                accepted=aux.accepted,
-                converged=new_state.converged,
-            )
-            return new_state, row
+            return new_state, trace_row(new_state, aux)
 
         final_state, trace = jax.lax.scan(
             scan_step, init, None, length=config.max_iterations
         )
     else:
-        def cond(state: _BatchState):
-            active = (
-                (state.iteration < config.max_iterations)
-                & ~state.converged
-                & ~state.failed
-            )
-            return jnp.any(active)
-
         final_state = jax.lax.while_loop(
-            cond, lambda s: _iteration_batched(env, s, config, alphas)[0], init
+            active_any,
+            lambda s: _iteration_batched(env, s, config, alphas)[0], init
         )
 
     states, costs = jax.vmap(env.rollout)(x0, final_state.U)
