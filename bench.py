@@ -51,14 +51,32 @@ def main():
 
     mesh = pmesh.make_mesh(n_dev)
 
+    # Amortize the tunnel dispatch: REPS full solves inside ONE jitted
+    # program (lax.scan with a perturbed carry so XLA cannot hoist the
+    # body), synchronized by a single host fetch per dispatch. The remote
+    # dispatch latency is tens of ms and time-varying (measured 35-100 ms
+    # across sessions) — per-solve dispatching would measure the tunnel,
+    # not the chip (CLAUDE.md perf findings).
+    REPS = 8
+    env_r = pmesh.replicate(env, mesh)
+    x0_s = pmesh.shard_batch(x0, mesh)
+
+    def solve_many(eps):
+        def body(carry, _):
+            res = pmesh._solve_batch_sharded(
+                env_r, x0_s + carry, horizon, config, mesh
+            )
+            return carry + 1e-6, jnp.sum(res.total_cost)
+        _, costs = jax.lax.scan(body, eps, None, length=REPS)
+        return jnp.sum(costs)
+
+    solve_fn = jax.jit(solve_many)
+
     def run():
-        res = pmesh.solve_ilqr_sharded(
-            env, x0, horizon=horizon, config=config, mesh=mesh
-        )
         # Synchronize via a host fetch: on the experimental remote-TPU
         # backend block_until_ready can return before execution finishes,
         # which would let this loop enqueue unboundedly.
-        return float(jnp.sum(res.total_cost))
+        return float(solve_fn(jnp.float32(1e-7)))
 
     run()  # compile
     profile_dir = os.environ.get("TFMPC_PROFILE_DIR")
@@ -71,18 +89,19 @@ def main():
     def timing_window():
         t0 = time.perf_counter()
         reps = 0
-        while time.perf_counter() - t0 < 2.0 and reps < 50:
+        while time.perf_counter() - t0 < 3.0 and reps < 80:
             run()
             reps += 1
-        return B * reps / (time.perf_counter() - t0)
+        return B * REPS * reps / (time.perf_counter() - t0)
 
-    # Median of three windows: the remote-TPU dispatch tunnel adds up to
-    # ~15% run-to-run noise that only ever slows the measurement down, but
-    # a max-of-N estimator is one-sided — the median is defensible and the
+    # Median of five windows: the remote-TPU dispatch tunnel adds 15-25%
+    # run-to-run noise that only ever slows the measurement down, but a
+    # max-of-N estimator is one-sided — the median is defensible and the
     # selection policy travels with the number in the JSON line.
     with ctx:
-        windows = sorted(timing_window() for _ in range(3))
-        solves_per_s = windows[1]
+        timing_window()  # discard one warmup window (queue/cache effects)
+        windows = sorted(timing_window() for _ in range(5))
+        solves_per_s = windows[2]
 
     # sanity: solves must actually converge for throughput to mean anything
     res = pmesh.solve_ilqr_sharded(env, x0, horizon=horizon, config=config, mesh=mesh)
@@ -94,12 +113,13 @@ def main():
                 "metric": (
                     f"batched iLQR solves/s (navigation T=100, B={B}, "
                     f"{n_dev} {devices[0].platform} device(s), "
-                    f"{frac:.3f} converged)"
+                    f"{frac:.3f} converged, sustained: {REPS} solves per "
+                    f"host dispatch)"
                 ),
                 "value": round(solves_per_s, 1),
                 "unit": "solves/s",
                 "vs_baseline": round(solves_per_s / 1000.0, 3),
-                "timing": "median_of_3_windows",
+                "timing": "median_of_5_windows_after_warmup",
                 "windows": [round(w, 1) for w in windows],
             }
         )
