@@ -26,14 +26,31 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _throughput(fn, total: int, budget_s: float = 3.0, max_reps: int = 50):
-    fn()  # compile
+def _throughput(make, total: int, budget_s: float = 3.0, max_reps: int = 50,
+                reps_in_jit: int = 8):
+    """Sustained solves/s: ``make(eps)`` is a jittable scalar-returning solve.
+
+    ``reps_in_jit`` solves run inside ONE jitted ``lax.scan`` per host
+    dispatch (perturbed carry so XLA cannot hoist the body) — the remote
+    tunnel's dispatch latency is 30-70 ms and varies by the hour, so
+    singly-dispatched numbers measure the tunnel, not the chip (see
+    bench.py / CLAUDE.md).
+    """
+    @jax.jit
+    def f(eps):
+        def body(carry, _):
+            return carry + 1e-6, make(carry)
+
+        _, outs = jax.lax.scan(body, eps, None, length=reps_in_jit)
+        return jnp.sum(outs)
+
+    float(f(jnp.float32(0.0)))  # compile
     t0 = time.perf_counter()
     reps = 0
     while time.perf_counter() - t0 < budget_s and reps < max_reps:
-        fn()
+        float(f(jnp.float32(1e-7)))
         reps += 1
-    return total * reps / (time.perf_counter() - t0)
+    return total * reps_in_jit * reps / (time.perf_counter() - t0)
 
 
 def _report(config, metric, value, unit, extra=None):
@@ -52,8 +69,8 @@ def config1_lqr_linear_nav(quick: bool):
         jnp.array([8.0, -5.0]), beta=0.5, horizon=100
     )
     x0 = jnp.zeros(2)
-    fn = lambda: float(jnp.sum(lqr.solve(p, x0)[1]))
-    solves = _throughput(fn, 1, 1.0 if quick else 3.0)
+    make = lambda eps: jnp.sum(lqr.solve(p, x0 + eps)[1])
+    solves = _throughput(make, 1, 1.0 if quick else 3.0, reps_in_jit=64)
     _report(1, "LQR linear-nav T=100 single-instance", solves, "solves/s")
 
 
@@ -70,10 +87,10 @@ def config2_nav_ilqr(quick: bool):
         np.random.default_rng(0).uniform(-10, 10, size=(B, 2)).astype("f4")
     )
     cfg = ilqr.ILQRConfig(atol=1e-4, max_iterations=50, use_pallas=True)
-    fn = lambda: float(jnp.sum(
-        ilqr.solve_batch(env, x0, horizon=100, config=cfg).total_cost
-    ))
-    solves = _throughput(fn, B, 1.0 if quick else 3.0)
+    make = lambda eps: jnp.sum(
+        ilqr.solve_batch(env, x0 + eps, horizon=100, config=cfg).total_cost
+    )
+    solves = _throughput(make, B, 1.0 if quick else 3.0)
     res = ilqr.solve_batch(env, x0, horizon=100, config=cfg)
     _report(2, f"iLQR nonlinear-nav T=100 B={B}", solves, "solves/s",
             {"frac_converged": float(jnp.mean(res.converged.astype("f4")))})
@@ -95,10 +112,10 @@ def config3_hvac(quick: bool):
     cfg = ilqr.ILQRConfig(
         atol=1e-3, max_iterations=30, boxqp=True, use_pallas=True
     )
-    fn = lambda: float(jnp.sum(
-        ilqr.solve_batch(env, x0, horizon=100, config=cfg).total_cost
-    ))
-    solves = _throughput(fn, B, 1.0 if quick else 3.0)
+    make = lambda eps: jnp.sum(
+        ilqr.solve_batch(env, x0 + eps, horizon=100, config=cfg).total_cost
+    )
+    solves = _throughput(make, B, 1.0 if quick else 3.0)
     res = ilqr.solve_batch(env, x0, horizon=100, config=cfg)
     _report(3, f"iLQR HVAC-6 boxQP T=100 B={B}", solves, "solves/s",
             {"frac_converged": float(jnp.mean(res.converged.astype("f4")))})
@@ -122,10 +139,10 @@ def config3b_hvac16_middim(quick: bool):
     cfg = ilqr.ILQRConfig(
         atol=1e-2, max_iterations=20, boxqp=True, use_pallas=True
     )
-    fn = lambda: float(jnp.sum(
-        ilqr.solve_batch(env, x0, horizon=50, config=cfg).total_cost
-    ))
-    solves = _throughput(fn, B, 1.0 if quick else 3.0)
+    make = lambda eps: jnp.sum(
+        ilqr.solve_batch(env, x0 + eps, horizon=50, config=cfg).total_cost
+    )
+    solves = _throughput(make, B, 1.0 if quick else 3.0, reps_in_jit=4)
     res = ilqr.solve_batch(env, x0, horizon=50, config=cfg)
     _report("3b", f"iLQR HVAC-16 boxQP T=50 B={B} (mid-dim kernel)",
             solves, "solves/s",
@@ -144,10 +161,10 @@ def config4_reservoir_t500(quick: bool):
     cfg = ilqr.ILQRConfig(
         atol=1e-3, max_iterations=30, boxqp=True, use_pallas=True
     )
-    fn = lambda: float(jnp.sum(
-        ilqr.solve_batch(env, x0, horizon=500, config=cfg).total_cost
-    ))
-    solves = _throughput(fn, B, 1.0 if quick else 3.0)
+    make = lambda eps: jnp.sum(
+        ilqr.solve_batch(env, x0 + eps, horizon=500, config=cfg).total_cost
+    )
+    solves = _throughput(make, B, 1.0 if quick else 3.0, reps_in_jit=4)
     res = ilqr.solve_batch(env, x0, horizon=500, config=cfg)
     _report(4, f"iLQR reservoir-5 boxQP T=500 B={B}", solves, "solves/s",
             {"frac_converged": float(jnp.mean(res.converged.astype("f4")))})
@@ -166,18 +183,12 @@ def config4_reservoir_t500(quick: bool):
             atol=1e-3, max_iterations=30, boxqp=True,
             parallel_backward=True)),
     ]:
-        f1 = lambda: float(jnp.sum(
-            ilqr.solve_batch(env, x1, horizon=500, config=pcfg).total_cost
-        ))
-        f1()
-        t0 = time.perf_counter()
-        reps = 0
-        while time.perf_counter() - t0 < (1.0 if quick else 2.0) and reps < 20:
-            f1()
-            reps += 1
-        ms = (time.perf_counter() - t0) / reps * 1e3
+        make1 = lambda eps, pcfg=pcfg: jnp.sum(
+            ilqr.solve_batch(env, x1 + eps, horizon=500, config=pcfg).total_cost
+        )
+        sps = _throughput(make1, 1, 1.0 if quick else 2.0, reps_in_jit=4)
         _report(4, f"reservoir-5 T=500 single-solve latency ({label} backward)",
-                ms, "ms")
+                1e3 / sps, "ms")
 
 
 def config5_sharded(quick: bool):
@@ -196,10 +207,12 @@ def config5_sharded(quick: bool):
     )
     cfg = ilqr.ILQRConfig(atol=1e-4, max_iterations=50, use_pallas=True)
     mesh = pmesh.make_mesh(n_dev)
-    fn = lambda: float(jnp.sum(pmesh.solve_ilqr_sharded(
-        env, x0, horizon=100, config=cfg, mesh=mesh
-    ).total_cost))
-    solves = _throughput(fn, B, 1.0 if quick else 3.0)
+    env_r = pmesh.replicate(env, mesh)
+    x0_s = pmesh.shard_batch(x0, mesh)
+    make = lambda eps: jnp.sum(pmesh._solve_batch_sharded(
+        env_r, x0_s + eps, 100, cfg, mesh
+    ).total_cost)
+    solves = _throughput(make, B, 1.0 if quick else 3.0)
     _report(5, f"iLQR nav T=100 B={B} sharded over {n_dev} device(s)",
             solves, "solves/s", {"devices": n_dev})
 
