@@ -152,6 +152,27 @@ class TestShardedSolve:
             rtol=1e-4, atol=1e-5,
         )
 
+    def test_time_sharded_ilqr_batched(self, env):
+        """The batched (x0.ndim == 2) branch of solve_ilqr_time_sharded."""
+        from jax.sharding import Mesh
+
+        x0 = jnp.asarray(
+            np.random.default_rng(5).uniform(-4, 4, size=(3, 2)).astype("f4")
+        )
+        cfg = ilqr.ILQRConfig(
+            atol=1e-5, max_iterations=40, parallel_backward=True
+        )
+        res_u = ilqr.solve_batch(env, x0, horizon=32, config=cfg)
+        mesh_t = Mesh(np.asarray(jax.devices()), (pmesh.TIME_AXIS,))
+        res_s = pmesh.solve_ilqr_time_sharded(
+            env, x0, horizon=32, config=cfg, mesh=mesh_t
+        )
+        assert bool(np.asarray(res_s.converged).all())
+        np.testing.assert_allclose(
+            np.asarray(res_s.actions), np.asarray(res_u.actions),
+            rtol=1e-4, atol=1e-5,
+        )
+
     def test_time_sharded_ilqr_boxqp(self):
         """Horizon sharding composes with the boxQP gains re-pass — the
         constrained long-horizon (config 4) sharded path."""
