@@ -135,6 +135,36 @@ class TestCheckpointResume:
         with pytest.raises(ValueError, match="wrong env"):
             ilqr_batched.resume(make_reservoir(5), state)
 
+    def test_resume_rejects_wrong_dtype(self, env, x0):
+        """A dtype-mismatched checkpoint (e.g. saved under x64) fails fast in
+        validate_state instead of deep inside the jitted resume (round-2
+        ADVICE: the recorded dtype was written but never checked)."""
+        part = ilqr.solve_batch(
+            env, x0, horizon=HORIZON,
+            config=ilqr.ILQRConfig(atol=1e-4, max_iterations=2),
+        )
+        state = ilqr_batched.state_from_result(part)
+        state64 = ilqr_batched.SolverState(
+            *[np.asarray(a, np.float64 if np.asarray(a).dtype == np.float32
+              else np.asarray(a).dtype) for a in state]
+        )
+        with pytest.raises(ValueError, match="dtype"):
+            ilqr_batched.resume(env, state64)
+
+    def test_load_rejects_recorded_dtype_mismatch(self, env, x0, tmp_path):
+        part = ilqr.solve_batch(
+            env, x0, horizon=HORIZON,
+            config=ilqr.ILQRConfig(atol=1e-4, max_iterations=2),
+        )
+        state = ilqr_batched.state_from_result(part)
+        path = checkpoint.save_state(str(tmp_path / "ckpt.npz"), state)
+        with np.load(path) as data:
+            arrays = {k: data[k] for k in data.files}
+        arrays["__dtype__"] = np.array("float64")  # lie about the dtype
+        np.savez(tmp_path / "bad_dtype.npz", **arrays)
+        with pytest.raises(ValueError, match="dtype"):
+            checkpoint.load_state(str(tmp_path / "bad_dtype.npz"))
+
     def test_load_rejects_corrupt_metadata(self, env, x0, tmp_path):
         part = ilqr.solve_batch(
             env, x0, horizon=HORIZON,

@@ -171,8 +171,11 @@ def lqr(state_size, action_size, horizon, seed, x0_scale, parallel,
               show_default=True,
               help="Route eligible solves through the fused Pallas kernels "
                    "(batched Riccati backward + line-search rollouts). "
-                   "Ineligible shapes/envs fall back to the XLA path "
-                   "automatically, so this is safe to leave on.")
+                   "Ineligible SHAPES fall back to the XLA path "
+                   "automatically; a user-defined env whose dynamics use "
+                   "ops the TPU kernel compiler cannot lower (gather, "
+                   "cond, ...) fails at compile time instead — pass "
+                   "--no-pallas for such envs.")
 @click.option("--parallel-backward", is_flag=True, default=False,
               help="O(log T) associative-scan backward pass (long horizons).")
 def ilqr(env_path, horizon, atol, max_iterations, x0_json, num_samples,
@@ -307,7 +310,8 @@ def ilqr(env_path, horizon, atol, max_iterations, x0_json, num_samples,
               help="Control-limited DDP (default: on for bounded envs).")
 @click.option("--pallas/--no-pallas", "pallas_flag", default=True,
               show_default=True,
-              help="Fused Pallas kernels where eligible (safe fallback).")
+              help="Fused Pallas kernels where eligible (shape fallback "
+                   "is automatic; --no-pallas for envs that don't lower).")
 @click.option("--logdir", type=click.Path(), default=None,
               help="Write the realized closed-loop trajectory CSV here.")
 def mpc(env_path, steps, plan_horizon, atol, max_iterations, x0_json,

@@ -322,7 +322,7 @@ def _use_fused_derivs(env: Env, config: ILQRConfig, B: int) -> bool:
     materialize kernel, all stages exchanging kernel-layout blocks)."""
     if not getattr(config, "use_pallas", False):
         return False
-    if not getattr(config, "fuse_derivatives", True):
+    if not getattr(config, "fuse_derivatives", False):
         return False
     if getattr(config, "parallel_backward", False):
         return False
@@ -505,19 +505,26 @@ def _iteration_fused(env: Env, state: _BatchState, kargs,
 
 
 def _initial_kargs(env: Env, X, U):
-    """Linearization blocks of the initial trajectory, in kernel layout:
-    one materialize+derivs pass with a zero policy at alpha = 0 (the rolled
-    trajectory is the nominal one, only the derivative outputs are used)."""
-    from tfmpc_tpu.ops.rollout_pallas import rollout_alpha_derivs_pallas
+    """Linearization blocks of the initial trajectory, in kernel layout.
 
-    B, T, m = U.shape
-    n = X.shape[-1]
-    zeroK = jnp.zeros((T, m * n, B), X.dtype)
-    zerok = jnp.zeros((T, m, B), X.dtype)
-    _, _, _, kargs = rollout_alpha_derivs_pallas(
-        env, X, U, None, jnp.zeros((B,), X.dtype), policy_lane=(zeroK, zerok)
+    Linearizes the STORED ``X``/``U`` exactly as the split pipeline does
+    (one XLA derivatives pass, then a layout transpose) rather than
+    re-rolling from ``X[:, 0]`` with a zero policy: a resumed or
+    user-constructed ``SolverState`` whose ``X`` deviates from
+    ``rollout(x0, U)`` must be linearized along its stored trajectory, not a
+    recomputed one (round-2 ADVICE). Runs once per solve — the per-iteration
+    refreshes come from the fused materialize+derivs kernel.
+    """
+    from tfmpc_tpu.ops.riccati_pallas import _to_kernel_layout
+
+    lin, quad, final = _derivatives_batched(env, X, U)
+    args, _ = _to_kernel_layout(
+        lin, quad, final, jnp.zeros((X.shape[0],), X.dtype)
     )
-    return kargs
+    return {
+        key: args[key]
+        for key in ("fx", "fu", "lx", "lu", "lxx", "luu", "lux")
+    }
 
 
 def _linesearch_batched(env: Env, X, U, policy, alphas):

@@ -65,6 +65,13 @@ def load_state(path: str) -> SolverState:
                 f"{path} is not a solver checkpoint: missing fields {missing}"
             )
         state = SolverState(**{k: data[k] for k in SolverState._fields})
+        if "__dtype__" in data.files:
+            recorded = str(data["__dtype__"])
+            if str(state.X.dtype) != recorded:
+                raise ValueError(
+                    f"{path}: X dtype {state.X.dtype} disagrees with the "
+                    f"recorded checkpoint dtype {recorded} — file corrupt?"
+                )
         if _META_KEY in data.files:
             fmt, B, T, n, m = (int(v) for v in data[_META_KEY])
             if fmt > _FORMAT:
@@ -103,4 +110,21 @@ def validate_state(state: SolverState, env) -> None:
             f"checkpoint was saved for state/action sizes ({n}, {m}) but "
             f"env '{type(env).__name__}' has ({env.state_size}, "
             f"{env.action_size}) — wrong env for this checkpoint"
+        )
+    import jax
+    import jax.numpy as jnp
+
+    env_dtypes = {
+        jnp.asarray(leaf).dtype
+        for leaf in jax.tree_util.tree_leaves(env)
+        if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)
+    }
+    x_dtype = jnp.asarray(state.X).dtype
+    if env_dtypes and x_dtype not in env_dtypes:
+        raise ValueError(
+            f"checkpoint arrays are {x_dtype} but env "
+            f"'{type(env).__name__}' parameters are "
+            f"{sorted(str(d) for d in env_dtypes)} — a dtype-mismatched "
+            f"resume would fail inside the compiled solve (was the "
+            f"checkpoint saved with a different x64 setting?)"
         )
