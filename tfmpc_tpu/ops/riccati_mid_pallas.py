@@ -52,7 +52,38 @@ from tfmpc_tpu.ops.riccati_pallas import (
 )
 
 MID_DIM_MIN = 13   # below this the unrolled lane kernel wins
-MID_DIM_MAX = 48   # emission ~12*48^2 ~ 28k ops/step still compiles sanely
+MID_DIM_MAX = 48   # chip-verified ceiling (see _mid_vmem_limit)
+
+# Chip-measured scoped-VMEM facts (v5e, benchmarks/mid_vmem_probe.py,
+# 2026-08-17). Round-2 ADVICE (medium): MID_DIM_MAX = 48 was never
+# validated on chip — and indeed at the compiler's DEFAULT 16 MB
+# scoped-VMEM budget the kernel stops compiling well before it
+# (measured stack: d = 32 unconstrained 17.3 MB, d = 28 boxQP 19.1 MB,
+# non-monotone in d — Mosaic's liveness-based allocator). 16 MB is a
+# compiler default, not the hardware: v5e has 128 MiB of VMEM, so dims
+# past the default budget raise ``vmem_limit_bytes`` instead of falling
+# off the kernel. Sub-128 lane blocks are NOT an alternative (Pallas TPU
+# requires the trailing block dim to be a multiple of 128).
+_MID_DEFAULT_BUDGET_MAX = {False: 28, True: 24}   # boxqp -> max dim at 16 MB
+_MID_RAISED_VMEM_BYTES = 100 * 2 ** 20
+
+
+def _mid_vmem_limit(n: int, m: int, boxqp: bool):
+    """``vmem_limit_bytes`` for these dims (None = compiler default)."""
+    if max(n, m) <= _MID_DEFAULT_BUDGET_MAX[boxqp]:
+        return None
+    return _MID_RAISED_VMEM_BYTES
+
+
+def mid_kernel_supported(n: int, m: int, boxqp: bool = False) -> bool:
+    """Whether these dims are within the kernel's chip-verified envelope.
+
+    ``_riccati_kernel_mode`` consults this before routing a solve here;
+    unsupported dims fall back to the vmapped scan instead of dying inside
+    Mosaic's scoped-VMEM allocator at compile time.
+    """
+    del boxqp  # same ceiling for both variants with the raised VMEM limit
+    return 1 <= min(n, m) and max(n, m) <= MID_DIM_MAX
 
 
 def _srow(M, i):
@@ -401,6 +432,11 @@ def _riccati_mid_raw(fx, fu, lx, lu, lxx, luu, lux, mu, VT, vT,
     while B % BB:
         BB //= 2
     nb = B // BB
+    vmem_limit = _mid_vmem_limit(n, m, boxqp_iters > 0)
+    compiler_params = (
+        None if vmem_limit is None
+        else pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
+    )
 
     tmap = lambda bi, t: (T - 1 - t, 0, bi)
     bmap = lambda bi, t: (0, bi)
@@ -443,6 +479,8 @@ def _riccati_mid_raw(fx, fu, lx, lu, lxx, luu, lux, mu, VT, vT,
             pltpu.VMEM((3, BB), fx.dtype),
         ],
         interpret=interpret,
+        **({} if compiler_params is None
+           else {"compiler_params": compiler_params}),
     )(*inputs)
     return out
 
