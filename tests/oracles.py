@@ -338,6 +338,189 @@ def ilqr_hvac_boxqp_oracle_np(
     return X, U, J
 
 
+def reservoir_params_np(
+    R, *, max_capacity=100.0, rain=5.0, evap_factor=0.5, lower_bound=10.0,
+    upper_bound=90.0, low_penalty=5.0, high_penalty=100.0,
+    setpoint_weight=0.1, max_release=50.0,
+):
+    """float64 reservoir parameter bundle mirroring make_reservoir's chain
+    defaults (0 -> 1 -> ... -> R-1 -> out)."""
+    D = np.zeros((R, R))
+    if R > 1:
+        D[np.arange(R - 1), np.arange(1, R)] = 1.0
+    pr = lambda v: np.broadcast_to(np.asarray(v, float), (R,)).astype(float)
+    return dict(
+        downstream=D, max_capacity=pr(max_capacity), rain=pr(rain),
+        evap_factor=float(evap_factor), lower_bound=pr(lower_bound),
+        upper_bound=pr(upper_bound), low_penalty=float(low_penalty),
+        high_penalty=float(high_penalty),
+        setpoint_weight=float(setpoint_weight),
+        low=np.zeros(R), high=pr(max_release),
+    )
+
+
+def _res_step_np(p, x, u):
+    evap = p["evap_factor"] * np.sin(x / p["max_capacity"]) * x
+    return x + p["rain"] - evap - u + p["downstream"].T @ u
+
+
+def _res_cost_np(p, x):
+    below = np.maximum(p["lower_bound"] - x, 0.0)
+    above = np.maximum(x - p["upper_bound"], 0.0)
+    mid = 0.5 * (p["lower_bound"] + p["upper_bound"])
+    return float(np.sum(
+        p["low_penalty"] * below**2
+        + p["high_penalty"] * above**2
+        + p["setpoint_weight"] * (x - mid) ** 2
+    ))
+
+
+def _res_derivs_np(p, x):
+    """(f_x, l_x, l_xx_diag) at level x; f_u = D^T - I is constant and the
+    cost is u-independent (l_u = 0, l_uu = 0)."""
+    r = x / p["max_capacity"]
+    fx_diag = 1.0 - p["evap_factor"] * (np.sin(r) + r * np.cos(r))
+    below = np.maximum(p["lower_bound"] - x, 0.0)
+    above = np.maximum(x - p["upper_bound"], 0.0)
+    mid = 0.5 * (p["lower_bound"] + p["upper_bound"])
+    l_x = (
+        -2.0 * p["low_penalty"] * below
+        + 2.0 * p["high_penalty"] * above
+        + 2.0 * p["setpoint_weight"] * (x - mid)
+    )
+    hdiag = (
+        2.0 * p["low_penalty"] * (below > 0).astype(float)
+        + 2.0 * p["high_penalty"] * (above > 0).astype(float)
+        + 2.0 * p["setpoint_weight"]
+    )
+    return np.diag(fx_diag), l_x, hdiag
+
+
+def reservoir_grad_np(p, x0, U):
+    """fp64 adjoint gradient dJ/dU of the open-loop reservoir cost (for
+    KKT-residual checks on backends without float64)."""
+    U = np.asarray(U, float)
+    T, R = U.shape
+    X = [np.asarray(x0, float)]
+    for t in range(T):
+        X.append(_res_step_np(p, X[t], U[t]))
+    f_u = p["downstream"].T - np.eye(R)
+    _, lam, _ = _res_derivs_np(p, X[T])
+    G = np.zeros_like(U)
+    for t in reversed(range(T)):
+        f_x, l_x, _ = _res_derivs_np(p, X[t])
+        G[t] = f_u.T @ lam
+        lam = l_x + f_x.T @ lam
+    return G
+
+
+def ilqr_reservoir_boxqp_oracle_np(
+    p, x0, T, atol=1e-8, max_iterations=100,
+    mu_min=1e-6, delta_0=2.0, num_alphas=11,
+):
+    """Control-limited DDP on the reservoir problem, float64 end to end —
+    the long-horizon constrained accuracy anchor (round-2 VERDICT missing
+    #5: BASELINE config 4 at T=500 had convergence flags but no fp64
+    deviation bound; SURVEY §7.3 names fp32 precision loss in T=500
+    Riccati chains a known risk). Same algorithm skeleton as
+    ``ilqr_hvac_boxqp_oracle_np``. Returns (X [T+1, R], U [T, R], J).
+    """
+    x0 = np.asarray(x0, float)
+    R = x0.shape[0]
+    lo, hi = p["low"], p["high"]
+    f_u = p["downstream"].T - np.eye(R)
+
+    def rollout(U):
+        X, J = [x0], 0.0
+        for t in range(T):
+            J += _res_cost_np(p, X[-1])
+            X.append(_res_step_np(p, X[-1], U[t]))
+        J += _res_cost_np(p, X[-1])
+        return np.asarray(X), J
+
+    U = np.clip(np.zeros((T, R)), lo, hi)
+    X, J = rollout(U)
+    mu, delta = 0.0, 1.0
+    alphas = [1.1 ** (-(i**2)) for i in range(num_alphas)]
+
+    for _ in range(max_iterations):
+        ds = [_res_derivs_np(p, X[t]) for t in range(T)]
+
+        while True:  # backward with restart-on-non-PD
+            _, lxT, hT = _res_derivs_np(p, X[T])
+            V, v = np.diag(hT), lxT
+            dV1 = dV2 = 0.0
+            Ks, ks = [], []
+            failed = False
+            for t in reversed(range(T)):
+                f_x, l_x, hdiag = ds[t]
+                VR = V + mu * np.eye(R)
+                Qx = l_x + f_x.T @ v
+                Qu = f_u.T @ v
+                Qxx = np.diag(hdiag) + f_x.T @ V @ f_x
+                Quu = f_u.T @ V @ f_u
+                Qux = f_u.T @ V @ f_x
+                QuuR = f_u.T @ VR @ f_u
+                QuxR = f_u.T @ VR @ f_x
+                try:
+                    np.linalg.cholesky(QuuR)
+                except np.linalg.LinAlgError:
+                    failed = True
+                    break
+                kt, free = boxqp_np(QuuR, Qu, lo - U[t], hi - U[t])
+                Kt = np.zeros((R, R))
+                if free.any():
+                    Kt[np.ix_(free, range(R))] = -np.linalg.solve(
+                        QuuR[np.ix_(free, free)], QuxR[free]
+                    )
+                dV1 += kt @ Qu
+                dV2 += 0.5 * kt @ Quu @ kt
+                V = Qxx + Kt.T @ Quu @ Kt + Kt.T @ Qux + Qux.T @ Kt
+                V = 0.5 * (V + V.T)
+                v = Qx + Kt.T @ Quu @ kt + Kt.T @ Qu + Qux.T @ kt
+                Ks.append(Kt)
+                ks.append(kt)
+            if not failed:
+                break
+            delta = max(delta_0, delta * delta_0)
+            mu = max(mu_min, mu * delta)
+            if mu > 1e10:
+                return X, U, J
+        Ks, ks = Ks[::-1], ks[::-1]
+
+        if -(dV1 + dV2) < atol:
+            break
+
+        accepted = False
+        for a in alphas:
+            Xn, Un, Jn = [x0], [], 0.0
+            for t in range(T):
+                x = Xn[-1]
+                u = np.clip(U[t] + a * ks[t] + Ks[t] @ (x - X[t]), lo, hi)
+                Jn += _res_cost_np(p, x)
+                Xn.append(_res_step_np(p, x, u))
+                Un.append(u)
+            Jn += _res_cost_np(p, Xn[-1])
+            expected = -(a * dV1 + a * a * dV2)
+            ok = (J - Jn) / expected > 0.0 if expected > 0 else Jn < J
+            if ok and Jn < J:
+                accepted = True
+                break
+        if accepted:
+            residual = J - Jn
+            X, U, J = np.asarray(Xn), np.asarray(Un), Jn
+            delta = min(1.0 / delta_0, delta / delta_0)
+            mu = mu * delta if mu * delta >= mu_min else 0.0
+            if residual < atol:
+                break
+        else:
+            delta = max(delta_0, delta * delta_0)
+            mu = max(mu_min, mu * delta)
+            if mu > 1e10:
+                break
+    return X, U, J
+
+
 def ilqr_navigation_oracle_np(
     goal, centers, decays, x0, T,
     atol=1e-8, max_iterations=200,

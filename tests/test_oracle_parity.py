@@ -134,3 +134,72 @@ class TestConstrainedOracle:
             np.asarray(U, float) >= 10.0 - 1e-4
         )
         assert (sat(U_np) == sat(res.actions)).mean() >= 0.98
+
+
+class TestReservoirT500Oracle:
+    """fp64 anchor for BASELINE config 4 (reservoir boxQP, T=500) — round-2
+    VERDICT missing #5: the long-horizon constrained config had convergence
+    flags and fp32-vs-fp32 agreement but NO numeric deviation bound vs fp64;
+    SURVEY §7.3 flags fp32 precision loss in T=500 Riccati chains as a
+    known risk. This quantifies it."""
+
+    R = 5
+    T = 500
+    X0 = [95.0, 80.0, 60.0, 40.0, 20.0]
+
+    @pytest.fixture(scope="class")
+    def oracle(self):
+        from oracles import ilqr_reservoir_boxqp_oracle_np, reservoir_params_np
+
+        p = reservoir_params_np(self.R)
+        X, U, J = ilqr_reservoir_boxqp_oracle_np(p, self.X0, self.T, atol=1e-9)
+        return p, X, U, J
+
+    def test_oracle_is_sane(self, oracle):
+        p, X, U, J = oracle
+        assert np.all(U >= -1e-12) and np.all(U <= 50.0 + 1e-12)
+        # levels settle inside the operating band
+        assert np.all(X[-1] >= 10.0 - 1.0) and np.all(X[-1] <= 90.0 + 1.0)
+        from oracles import reservoir_grad_np
+
+        g = reservoir_grad_np(p, self.X0, U)
+        pg = U - np.clip(U - g, p["low"], p["high"])
+        # near-KKT: the expected-improvement termination (atol on
+        # -(dV1+dV2)) leaves a ~1e-5 projected gradient over a T=500 chain
+        assert float(np.abs(pg).max()) < 5e-5
+
+    def test_solver_matches_oracle_at_t500(self, oracle):
+        from oracles import _res_cost_np, _res_step_np, reservoir_grad_np
+
+        from tfmpc_tpu.models.reservoir import make_reservoir
+
+        p, X_np, U_np, J_np = oracle
+        env = make_reservoir(self.R)
+        res = ilqr.solve(
+            env, jnp.asarray(self.X0, jnp.float32), horizon=self.T,
+            config=ilqr.ILQRConfig(
+                atol=1e-8, max_iterations=100, boxqp=True
+            ),
+        )
+        assert bool(res.converged)
+
+        # evaluate the solver's fp32 controls under the fp64 model so the
+        # comparison is not polluted by fp32 cost summation over 500 steps
+        U_s = np.asarray(res.actions, float)
+        x, J_s = np.asarray(self.X0, float), 0.0
+        for t in range(self.T):
+            J_s += _res_cost_np(p, x)
+            x = _res_step_np(p, x, U_s[t])
+        J_s += _res_cost_np(p, x)
+        cost_rel = abs(J_s - J_np) / abs(J_np)
+        assert cost_rel < 1e-5, f"T=500 cost rel dev {cost_rel:.2e} vs fp64"
+
+        # KKT stationarity of the fp32 controls in the fp64 model. The
+        # measured fp32 floor at T=500 is ~6e-3 (controls live on [0, 50],
+        # so ~1.2e-4 RELATIVE — the quantified answer to SURVEY §7.3's
+        # long-chain precision risk; compare HVAC's 5e-3 absolute floor on
+        # [0, 10] controls at T=100 = 5e-4 relative).
+        g = reservoir_grad_np(p, self.X0, U_s)
+        pg = U_s - np.clip(U_s - g, p["low"], p["high"])
+        kkt = float(np.abs(pg).max())
+        assert kkt < 2e-2, f"T=500 KKT residual {kkt:.2e} in fp64 model"
