@@ -1,0 +1,144 @@
+"""Settle the MXU question for the mid-dim Riccati kernel (SURVEY §7.3).
+
+Round-2 VERDICT missing #4: SURVEY §7.3 prescribed "treat B as the matmul
+M-dimension in Pallas blocks (`dot` on [BB, n] x [n, n] tiles)"; the shipped
+mid kernel is instead a VPU row-op design, and nobody had built or refuted
+the MXU formulation. This probe isolates the kernel's core op — the batched
+small matmul C[b] = A[b] @ M[b] over B lanes — and times every formulation
+the hardware offers:
+
+1. ``row-kernel``      — the shipped design: lanes on the 128-wide vector
+   axis, matrix rows on sublanes, broadcast-FMA contraction (VPU).
+2. ``xla-batched-dot`` — ``einsum('bij,bjk->bik')`` under jit: XLA's own
+   batched-small-GEMM lowering for TPU (free to pick MXU or VPU).
+3. ``mxu-shared``      — ``reshape(B*n, n) @ (n, n)``: THE "B as the
+   M-dimension" formulation. Note what it computes: it is only expressible
+   when the stationary operand is SHARED across the batch — ``C[b] = A[b]
+   @ S`` — because an MXU matmul contracts every M-row against the same
+   stationary tile. The general Riccati step has per-lane V/f_x/f_u, i.e.
+   ``C[b] = A[b] @ M[b]``: each output row (b, i) would need its own
+   stationary matrix, which is not a matmul. So 3 is an UPPER BOUND on
+   what the MXU could give IF the linearization were lane-shared (e.g. a
+   batch of LQR scenarios differing only in x0) — not a drop-in
+   replacement for the kernel's contraction.
+
+Per dim it prints ms and achieved GFLOP/s against the v5e VPU (~3.9 TF/s
+fp32) and MXU (~197 TF/s bf16 / ~49 TF/s fp32-via-3-pass) peaks, and a
+keep/reject verdict for the row design. Results recorded in PARITY.md.
+
+Usage:
+  PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/mxu_probe.py \
+      [--dims 16,24,32,48] [--batch 1024]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+REPS = 30
+VPU_PEAK = 3.9e12
+MXU_PEAK_F32 = 49e12      # ~197 TF/s bf16 / 4 passes for fp32(highest)
+
+
+def _timed(make):
+    @jax.jit
+    def f(eps):
+        def body(carry, _):
+            return carry + 1e-6, make(carry)
+
+        _, outs = jax.lax.scan(body, eps, None, length=REPS)
+        return jnp.sum(outs)
+
+    float(f(jnp.float32(0.0)))
+    t0 = time.perf_counter()
+    float(f(jnp.float32(1e-7)))
+    return (time.perf_counter() - t0) / REPS * 1e3
+
+
+@functools.partial(jax.jit, static_argnames=("d",))
+def _row_kernel_matmul(A_rows, M_rows, *, d):
+    """C[b] = A[b] @ M[b] in the mid kernel's row layout ([d*d, B])."""
+    from tfmpc_tpu.ops.riccati_mid_pallas import _matmul_rows
+
+    B = A_rows.shape[-1]
+    BB = 128
+
+    def kernel(a_ref, m_ref, c_ref):
+        c_ref[:, :] = _matmul_rows(a_ref[:, :], (d, d), m_ref[:, :], d)
+
+    spec = pl.BlockSpec((d * d, BB), lambda bi: (0, bi),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // BB,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((d * d, B), A_rows.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(A_rows, M_rows)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dims", default="16,24,32,48")
+    ap.add_argument("--batch", type=int, default=1024)
+    args = ap.parse_args()
+    B = args.batch
+
+    with jax.default_matmul_precision("highest"):
+        for d in (int(x) for x in args.dims.split(",")):
+            rng = np.random.default_rng(d)
+            A = jnp.asarray(rng.standard_normal((B, d, d)), jnp.float32)
+            M = jnp.asarray(rng.standard_normal((B, d, d)), jnp.float32)
+            S = jnp.asarray(rng.standard_normal((d, d)), jnp.float32)
+            # row layout: [b, i, j] -> [i*d+j, b]
+            A_rows = jnp.transpose(A.reshape(B, d * d), (1, 0))
+            M_rows = jnp.transpose(M.reshape(B, d * d), (1, 0))
+            flops = 2.0 * B * d ** 3
+
+            variants = {
+                "row-kernel (VPU, shipped design)": lambda e: jnp.sum(
+                    _row_kernel_matmul(A_rows + e, M_rows, d=d)
+                ),
+                "xla-batched-dot (einsum bij,bjk)": lambda e: jnp.sum(
+                    jnp.einsum("bij,bjk->bik", A + e, M)
+                ),
+                "mxu-shared ((B*n,n)@(n,n), UPPER BOUND)": lambda e: jnp.sum(
+                    (A.reshape(B * d, d) + e) @ S
+                ),
+            }
+            times = {}
+            for name, make in variants.items():
+                ms = _timed(make)
+                times[name] = ms
+                gf = flops / (ms / 1e3) / 1e9
+                print(json.dumps({
+                    "dims": d, "variant": name, "ms": round(ms, 4),
+                    "GFLOPs": round(gf, 1),
+                    "pct_VPU": round(100 * gf * 1e9 / VPU_PEAK, 1),
+                    "pct_MXU_f32": round(100 * gf * 1e9 / MXU_PEAK_F32, 1),
+                    "batch": B,
+                }), flush=True)
+            row = times["row-kernel (VPU, shipped design)"]
+            xla = times["xla-batched-dot (einsum bij,bjk)"]
+            shared = times["mxu-shared ((B*n,n)@(n,n), UPPER BOUND)"]
+            print(json.dumps({
+                "dims": d,
+                "verdict": ("row design holds" if row <= xla
+                            else "XLA batched dot wins — investigate"),
+                "row_vs_xla_x": round(xla / row, 2),
+                "shared_stationary_headroom_x": round(row / shared, 2),
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

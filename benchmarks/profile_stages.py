@@ -25,10 +25,18 @@ latency/dependency-bound (the sequential Riccati chain).
 Usage::
 
   python benchmarks/profile_stages.py [--batch 4096] [--horizon 100]
-                                      [--env navigation|hvac]
+                                      [--env navigation|hvac|hvac16]
+  python benchmarks/profile_stages.py --middim 16,24,32,48 [--batch 1024]
 
 ``--env hvac`` profiles the box-constrained pipeline (boxQP backward kernel
-and the KKT-stationarity VJP) that round 1 never measured.
+and the KKT-stationarity VJP) that round 1 never measured. ``--env hvac16``
+routes the backward stage through the mid-dim kernel
+(ops/riccati_mid_pallas.py) — the full pipeline at n = m = 16. ``--middim``
+is the synthetic mid-dim sweep (round-2 VERDICT missing #4: the mid
+kernel's 21-30x speedup over the scan was measured, but its fraction of
+either roofline never was): achieved %HBM / %VPU for
+``riccati_backward_mid(_boxqp)`` at each dim, same bytes/FLOP models as
+the env stages.
 """
 
 from __future__ import annotations
@@ -129,13 +137,94 @@ def _control_law_flops(n, m):
     return 2 * m * n + 4 * m       # K dx + ubar + alpha k + clip
 
 
+def _roofline_record(name, ms, nbytes, flops, extra=None):
+    gbs = nbytes / (ms / 1e3) / 1e9
+    gflops = flops / (ms / 1e3) / 1e9
+    rec = {
+        "stage": name,
+        "ms_per_iteration": round(ms, 3),
+        "GB_moved": round(nbytes / 1e9, 4),
+        "achieved_GBps": round(gbs, 1),
+        "pct_HBM_roofline": round(100 * gbs * 1e9 / HBM_PEAK, 1),
+        "GFLOP": round(flops / 1e9, 3),
+        "achieved_GFLOPs": round(gflops, 1),
+        "pct_VPU_roofline": round(100 * gflops * 1e9 / VPU_PEAK, 1),
+    }
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def middim_sweep(dims, B, T):
+    """Roofline-grade ``riccati_backward_mid(_boxqp)`` at synthetic dims.
+
+    Round-2 VERDICT missing #4: the mid kernel's speedup over the scan was
+    measured (21-30x at dims 16/24) but never its fraction of either
+    roofline — 'is it actually fast?' needs an absolute answer, not a
+    relative one. Uses the same bytes/FLOP models as the env stages
+    (_riccati_bytes / _riccati_flops_per_step are layout-independent).
+    """
+    import dataclasses as _dc
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    _sys.path.insert(0, "/root/repo/tests")
+    from test_riccati_mid import _synthetic
+
+    from tfmpc_tpu.core.types import Bounds
+    from tfmpc_tpu.ops.riccati_mid_pallas import (
+        riccati_backward_mid,
+        riccati_backward_mid_boxqp,
+    )
+
+    rng = np.random.default_rng(7)
+    for d in dims:
+        n = m = d
+        lin, quad, final, mu = _synthetic(rng, B, T, n, m, dtype=jnp.float32)
+        bounds = Bounds(
+            low=jnp.full((m,), -0.4, jnp.float32),
+            high=jnp.full((m,), 0.4, jnp.float32),
+        )
+        Ubar = jnp.asarray(
+            0.2 * rng.standard_normal((B, T, m)), jnp.float32
+        )
+        for name, make, boxqp_iters in (
+            ("mid Riccati backward", lambda e: jnp.sum(riccati_backward_mid(
+                _dc.replace(lin, f_x=lin.f_x + e), quad, final, mu
+            )[1].k), 0),
+            ("mid Riccati backward boxQP", lambda e: jnp.sum(
+                riccati_backward_mid_boxqp(
+                    _dc.replace(lin, f_x=lin.f_x + e), quad, final, mu,
+                    bounds, Ubar, boxqp_iters=8,
+                )[1].k), 8),
+        ):
+            ms = _timed_loop(make)
+            _roofline_record(
+                name, ms,
+                _riccati_bytes(B, T, n, m, boxqp_iters > 0),
+                B * T * _riccati_flops_per_step(n, m, boxqp_iters),
+                {"dims": d, "batch": B, "horizon": T},
+            )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--horizon", type=int, default=100)
-    ap.add_argument("--env", choices=["navigation", "hvac"],
+    ap.add_argument("--env", choices=["navigation", "hvac", "hvac16"],
                     default="navigation")
+    ap.add_argument("--middim", default=None, metavar="DIMS",
+                    help="comma-separated dims for the synthetic mid-dim "
+                         "backward-kernel roofline sweep (e.g. 16,24,32,48); "
+                         "uses --batch/--horizon (default 1024/50 there)")
     args = ap.parse_args()
+
+    if args.middim:
+        B = args.batch if args.batch != 4096 else 1024
+        T = args.horizon if args.horizon != 100 else 50
+        middim_sweep([int(x) for x in args.middim.split(",")], B, T)
+        return
 
     from tfmpc_tpu.ops.riccati_pallas import (
         riccati_backward_boxqp_pallas,
@@ -158,6 +247,19 @@ def main():
             deceleration={"center": [[3.0, -2.0]], "decay": [2.0]},
         )
         x0 = jnp.asarray(rng.uniform(-10, 10, size=(B, 2)).astype("f4"))
+    elif args.env == "hvac16":
+        import os
+
+        from tfmpc_tpu.models.registry import load_env
+
+        env = load_env(os.path.join(
+            os.path.dirname(__file__), "..", "configs", "hvac16.json"
+        ))
+        if args.batch == 4096:   # mid-dim default: smaller batch/horizon
+            B = 512
+        if args.horizon == 100:
+            T = 50
+        x0 = jnp.asarray(rng.uniform(8, 18, size=(B, 16)).astype("f4"))
     else:
         from tfmpc_tpu.models.hvac import make_hvac
 
@@ -183,10 +285,21 @@ def main():
     lin, quad, fin = jax.jit(
         lambda X, U: _derivatives_batched(env, X, U)
     )(X, U)
-    if boxqp:
+    middim = max(n, m) > 12
+    if middim:
+        from tfmpc_tpu.ops.riccati_mid_pallas import (
+            riccati_backward_mid, riccati_backward_mid_boxqp,
+        )
+    if boxqp and middim:
+        backward = lambda l: riccati_backward_mid_boxqp(
+            l, quad, fin, mu, env.bounds, U, boxqp_iters=cfg.boxqp_iters
+        )
+    elif boxqp:
         backward = lambda l: riccati_backward_boxqp_pallas(
             l, quad, fin, mu, env.bounds, U, boxqp_iters=cfg.boxqp_iters
         )
+    elif middim:
+        backward = lambda l: riccati_backward_mid(l, quad, fin, mu)
     else:
         backward = lambda l: riccati_backward_pallas(l, quad, fin, mu)
     _, pol, _, _ = jax.jit(
@@ -204,8 +317,8 @@ def main():
             _deriv_bytes(B, T, n, m),
             B * T * (8 * n * n + 30 * n),  # analytic-derivs op model
         ),
-        ("backward (Pallas Riccati boxQP)" if boxqp
-         else "backward (Pallas Riccati)"): (
+        ("backward (Pallas Riccati{}{})".format(
+            " mid" if middim else "", " boxQP" if boxqp else "")): (
             lambda e: jnp.sum(
                 backward(dataclasses.replace(lin, f_x=lin.f_x + e))[1].k
             ),
@@ -243,19 +356,10 @@ def main():
     for name, (make, nbytes, flops) in stages.items():
         ms = _timed_loop(make)
         total += ms
-        gbs = nbytes / (ms / 1e3) / 1e9
-        gflops = flops / (ms / 1e3) / 1e9
-        print(json.dumps({
-            "stage": name,
-            "ms_per_iteration": round(ms, 3),
-            "GB_moved": round(nbytes / 1e9, 4),
-            "achieved_GBps": round(gbs, 1),
-            "pct_HBM_roofline": round(100 * gbs * 1e9 / HBM_PEAK, 1),
-            "GFLOP": round(flops / 1e9, 3),
-            "achieved_GFLOPs": round(gflops, 1),
-            "pct_VPU_roofline": round(100 * gflops * 1e9 / VPU_PEAK, 1),
-            "batch": B, "horizon": T, "env": args.env,
-        }), flush=True)
+        _roofline_record(
+            name, ms, nbytes, flops,
+            {"batch": B, "horizon": T, "env": args.env},
+        )
     print(json.dumps({
         "stage": "TOTAL per outer iLQR iteration",
         "ms_per_iteration": round(total, 3),
