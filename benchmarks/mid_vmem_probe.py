@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from timing import amortized_ms
+
 REPS = 5
 
 
@@ -124,20 +126,10 @@ def main():
                     rec["ok_agree"] and devK < 2e-3 and devk < 2e-3
                 )
 
-                @jax.jit
-                def timed(e):
-                    def body(c, _):
-                        out = make(c)
-                        return c + 1e-6, jnp.sum(out[1].k)
-                    _, outs = jax.lax.scan(body, e, None, length=REPS)
-                    return jnp.sum(outs)
-
-                float(timed(jnp.float32(0.0)))
-                t0 = time.perf_counter()
-                float(timed(jnp.float32(1e-7)))
-                rec["ms_per_backward"] = round(
-                    (time.perf_counter() - t0) / REPS * 1e3, 2
+                ms, _ = amortized_ms(
+                    lambda e: make(e)[1].k, reps=REPS
                 )
+                rec["ms_per_backward"] = round(ms, 2)
                 rec["status"] = "ok"
             except Exception as e:  # compile OOM / Mosaic failure
                 rec["status"] = "fail"

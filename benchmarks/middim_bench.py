@@ -13,30 +13,16 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-REPS = 10
+from timing import amortized_ms
 
 
 def _timed(make):
-    @jax.jit
-    def f(eps):
-        def body(carry, _):
-            return carry + 1e-6, make(carry)
-
-        _, outs = jax.lax.scan(body, eps, None, length=REPS)
-        return jnp.sum(outs)
-
-    t0 = time.perf_counter()
-    float(f(jnp.float32(0.0)))  # compile
-    compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(f(jnp.float32(1e-7)))
-    return (time.perf_counter() - t0) / REPS * 1e3, compile_s
+    return amortized_ms(make, reps=10)
 
 
 def _synthetic(rng, B, T, n, m, dtype=jnp.float32):

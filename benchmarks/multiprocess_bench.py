@@ -23,54 +23,21 @@ from __future__ import annotations
 
 import json
 import os
-import socket
-import subprocess
 import sys
 
-
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
-
-
-def _run_group(num_procs: int, devices_per_proc: int):
-    coordinator = f"127.0.0.1:{_free_port()}"
-    runner = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "..", "tests", "multiprocess_runner.py",
-    )
-    env = {
-        k: v for k, v in os.environ.items()
-        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
-    }
-    env["PYTHONPATH"] = os.pathsep.join(
-        [os.path.dirname(os.path.dirname(os.path.abspath(runner)))]
-        + env.get("PYTHONPATH", "").split(os.pathsep)
-    )
-    procs = [
-        subprocess.Popen(
-            [sys.executable, runner, coordinator, str(num_procs), str(i),
-             "bench", str(devices_per_proc)],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
-            text=True,
-        )
-        for i in range(num_procs)
-    ]
-    outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=900)
-        if p.returncode != 0:
-            raise RuntimeError(
-                f"runner failed (procs={num_procs}): {err[-1500:]}"
-            )
-        outs.append(json.loads(out.strip().splitlines()[-1]))
-    return outs
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "tests"),
+)
+from mp_launch import spawn_group  # noqa: E402
 
 
 def main():
-    single = _run_group(1, 8)[0]
-    double = _run_group(2, 4)
+    single = spawn_group("bench", num_procs=1, devices_per_proc=8,
+                         timeout=900)[0]
+    double = spawn_group("bench", num_procs=2, devices_per_proc=4,
+                         timeout=900)
     d0 = double[0]
     eff = d0["solves_per_s"] / single["solves_per_s"]
     print(json.dumps({

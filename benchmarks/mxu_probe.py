@@ -36,7 +36,6 @@ from __future__ import annotations
 import argparse
 import functools
 import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -44,24 +43,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-REPS = 30
+from timing import amortized_ms
+
 VPU_PEAK = 3.9e12
 MXU_PEAK_F32 = 49e12      # ~197 TF/s bf16 / 4 passes for fp32(highest)
 
 
 def _timed(make):
-    @jax.jit
-    def f(eps):
-        def body(carry, _):
-            return carry + 1e-6, make(carry)
-
-        _, outs = jax.lax.scan(body, eps, None, length=REPS)
-        return jnp.sum(outs)
-
-    float(f(jnp.float32(0.0)))
-    t0 = time.perf_counter()
-    float(f(jnp.float32(1e-7)))
-    return (time.perf_counter() - t0) / REPS * 1e3
+    return amortized_ms(make, reps=30)[0]
 
 
 @functools.partial(jax.jit, static_argnames=("d",))

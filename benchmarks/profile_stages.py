@@ -44,33 +44,20 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-REPS = 30
+from timing import amortized_ms
 
 HBM_PEAK = 819e9          # bytes/s, TPU v5e
 VPU_PEAK = 3.9e12         # flops/s fp32, approximate (see module docstring)
 
 
 def _timed_loop(make):
-    """ms per call of ``make(eps)``, amortized over REPS in-jit iterations."""
-
-    @jax.jit
-    def f(eps):
-        def body(carry, _):
-            return carry + 1e-6, make(carry)
-
-        _, outs = jax.lax.scan(body, eps, None, length=REPS)
-        return jnp.sum(outs)
-
-    float(f(jnp.float32(0.0)))  # compile
-    t0 = time.perf_counter()
-    float(f(jnp.float32(1e-7)))
-    return (time.perf_counter() - t0) / REPS * 1e3
+    """ms per call of ``make(eps)`` (shared scan-amortized estimator)."""
+    return amortized_ms(make, reps=30)[0]
 
 
 def _deriv_bytes(B, T, n, m):
@@ -209,9 +196,14 @@ def middim_sweep(dims, B, T):
 
 
 def main():
+    # --batch/--horizon default to None so per-mode defaults can be
+    # resolved explicitly: a user-typed value is NEVER silently overridden
+    # (env stages default 4096/100; mid-dim modes default 1024/50 and
+    # hvac16 512/50, whose kernels at 4096x100 don't fit the measurement
+    # budget).
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=4096)
-    ap.add_argument("--horizon", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--horizon", type=int, default=None)
     ap.add_argument("--env", choices=["navigation", "hvac", "hvac16"],
                     default="navigation")
     ap.add_argument("--middim", default=None, metavar="DIMS",
@@ -221,8 +213,8 @@ def main():
     args = ap.parse_args()
 
     if args.middim:
-        B = args.batch if args.batch != 4096 else 1024
-        T = args.horizon if args.horizon != 100 else 50
+        B = args.batch if args.batch is not None else 1024
+        T = args.horizon if args.horizon is not None else 50
         middim_sweep([int(x) for x in args.middim.split(",")], B, T)
         return
 
@@ -237,7 +229,9 @@ def main():
     from tfmpc_tpu.solvers import ilqr
     from tfmpc_tpu.solvers.ilqr_batched import _derivatives_batched
 
-    B, T = args.batch, args.horizon
+    default_B, default_T = (512, 50) if args.env == "hvac16" else (4096, 100)
+    B = args.batch if args.batch is not None else default_B
+    T = args.horizon if args.horizon is not None else default_T
     rng = np.random.default_rng(0)
     if args.env == "navigation":
         from tfmpc_tpu.models.navigation import make_navigation
@@ -255,10 +249,6 @@ def main():
         env = load_env(os.path.join(
             os.path.dirname(__file__), "..", "configs", "hvac16.json"
         ))
-        if args.batch == 4096:   # mid-dim default: smaller batch/horizon
-            B = 512
-        if args.horizon == 100:
-            T = 50
         x0 = jnp.asarray(rng.uniform(8, 18, size=(B, 16)).astype("f4"))
     else:
         from tfmpc_tpu.models.hvac import make_hvac

@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from timing import amortized_ms
+
 
 def main():
     sys.path.insert(0, "tests")  # fp64 NumPy oracles
@@ -176,8 +178,6 @@ def main():
     # at n = 16 and 24, plus the headline >=10x backward speedup — the
     # round-2 flagship previously verified only by manually running
     # benchmarks/middim_bench.py (round-2 VERDICT weak #1).
-    import time as _time
-
     from tfmpc_tpu.ops.riccati_mid_pallas import (
         riccati_backward_mid, riccati_backward_mid_boxqp,
     )
@@ -225,16 +225,7 @@ def main():
     # n = 16, B = 512, T = 50 — a scaled-down middim_bench config; the
     # full bench measured 21-30x at dims 16/24, B=1024, T=100).
     def _amortized_ms(make, reps=10):
-        @jax.jit
-        def f(eps):
-            def body(c, _):
-                return c + 1e-6, make(c)
-            _, outs = jax.lax.scan(body, eps, None, length=reps)
-            return jnp.sum(outs)
-        float(f(jnp.float32(0.0)))
-        t0 = _time.perf_counter()
-        float(f(jnp.float32(1e-7)))
-        return (_time.perf_counter() - t0) / reps * 1e3
+        return amortized_ms(make, reps=reps)[0]
 
     rngs = np.random.default_rng(160)
     lins, quads, fins, mus = _synthetic(rngs, 512, 50, 16, 16,

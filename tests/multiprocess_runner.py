@@ -154,29 +154,37 @@ elif mode == "bench":
 
     # collective audit of the compiled sharded SOLVE: the scenarios are
     # independent, so the solve body must contain NO cross-device
-    # collectives — only summarize() reduces, and only over scalars.
-    hlo = timed.lower(env_r, x0_s, jnp.float32(0.0)).compile().as_text()
+    # collectives — only the final mean (and summarize()) reduce, and only
+    # over scalars. The AOT-compiled executable is reused for the timing
+    # loop below: .lower().compile() does NOT populate jax.jit's dispatch
+    # cache, so calling `timed(...)` afterwards would re-trace and
+    # re-compile the whole 30-iteration solve a second time.
+    compiled = timed.lower(env_r, x0_s, jnp.float32(0.0)).compile()
+    hlo = compiled.as_text()
     # '%all-reduce.3 = f32[] all-reduce(...)': capture (result shape, op).
     coll_re = (
         r"= ([a-z0-9]+\[[0-9,]*\])[^=\n]*\b(all-reduce|all-gather|"
         r"collective-permute|all-to-all|reduce-scatter)\("
     )
     coll = re.findall(coll_re, hlo)
-    float(timed(env_r, x0_s, jnp.float32(0.0)))  # warmup
-    reps = 0
+    float(compiled(env_r, x0_s, jnp.float32(0.0)))  # warmup
+    # FIXED rep count, not a wall-clock cutoff: the compiled program
+    # contains a cross-process all-reduce (the audit above finds it), so
+    # every process must dispatch the SAME number of reps — two processes
+    # reading their own clocks can disagree on the last rep, leaving one
+    # side blocked in a collective the other never joins (SPMD deadlock).
+    reps = 6
     t0 = time.perf_counter()
-    while time.perf_counter() - t0 < 3.0 and reps < 20:
-        float(timed(env_r, x0_s, jnp.float32(1e-7)))
-        reps += 1
+    for _ in range(reps):
+        float(compiled(env_r, x0_s, jnp.float32(1e-7)))
     dt = time.perf_counter() - t0
     solves_s = B * reps_in_jit * reps / dt
 
-    stats = jax.device_get(pmesh.summarize(pmesh._solve_batch_sharded(
-        env_r, x0_s, T, config, mesh
-    )))
-    sum_hlo = pmesh.summarize.lower(pmesh._solve_batch_sharded(
-        env_r, x0_s, T, config, mesh
-    )).compile().as_text()
+    res = pmesh._solve_batch_sharded(env_r, x0_s, T, config, mesh)
+    stats = jax.device_get(pmesh.summarize(res))
+    # .lower() only needs the argument's avals/shardings — reusing `res`
+    # avoids executing a second identical solve.
+    sum_hlo = pmesh.summarize.lower(res).compile().as_text()
     sum_coll = re.findall(coll_re, sum_hlo)
     print(json.dumps({
         "process": proc_id,

@@ -20,10 +20,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from tfmpc_tpu.core.types import Bounds
 from tfmpc_tpu.models.hvac import make_hvac
 from tfmpc_tpu.models.reservoir import make_reservoir
 from tfmpc_tpu.solvers import ilqr
-from tfmpc_tpu.solvers.ilqr import _kkt_scale
+from tfmpc_tpu.solvers.ilqr import _kkt_scale, _kkt_threshold
 
 ADJ = [[0, 1, 0], [1, 0, 1], [0, 1, 0]]
 KW = dict(is_out=[1, 0, 1], is_hall=[0, 1, 0])
@@ -60,6 +61,51 @@ def test_kkt_scale_helper():
     np.testing.assert_allclose(
         np.asarray(_kkt_scale(gb[..., 0], axes=(1, 2))), [1.0, 10.0]
     )
+
+
+class TestThresholdCap:
+    """The relative threshold is capped at 10% of the narrowest finite box
+    width, so it can never exceed the largest achievable projected gradient
+    (round-3 review: at ``||g||_inf >= W / kkt_atol`` the uncapped test is
+    vacuously true at EVERY point in the box)."""
+
+    CFG = ilqr.ILQRConfig()  # kkt_atol=1e-4
+
+    def test_matches_relative_test_in_normal_regime(self):
+        b = Bounds(low=jnp.zeros(2), high=jnp.full(2, 10.0))
+        g = jnp.asarray([[50.0, -300.0]])
+        np.testing.assert_allclose(
+            float(_kkt_threshold(self.CFG, g, b)), 1e-4 * 300.0
+        )
+
+    def test_vacuous_regime_is_capped(self):
+        # Box width 10; a uniform gradient of 1e7 makes the UNCAPPED
+        # threshold 1e-4 * 1e7 = 1000 >> 10 = max achievable ||pg||_inf:
+        # every point in the box would "converge". The cap pins the
+        # threshold at 0.1 * 10 = 1, and a mid-box point with a full-width
+        # projected gradient correctly fails the test.
+        b = Bounds(low=jnp.zeros(2), high=jnp.full(2, 10.0))
+        g = jnp.full((1, 2), 1e7)
+        thr = float(_kkt_threshold(self.CFG, g, b))
+        assert thr == pytest.approx(1.0)
+        U = jnp.full((1, 2), 5.0)  # mid-box, g pushes to the low bound
+        pg = U - b.clip(U - g)
+        assert float(jnp.max(jnp.abs(pg))) > thr  # NOT stationary
+        # ...while under the uncapped rule it would have (vacuously) passed
+        assert float(jnp.max(jnp.abs(pg))) < 1e-4 * float(_kkt_scale(g))
+
+    def test_infinite_bounds_leave_the_relative_test_uncapped(self):
+        b = Bounds(low=jnp.full(2, -jnp.inf), high=jnp.full(2, jnp.inf))
+        g = jnp.full((1, 2), 1e7)
+        assert float(_kkt_threshold(self.CFG, g, b)) == pytest.approx(1e3)
+
+    def test_one_sided_bounds_use_finite_widths_only(self):
+        # dim 0 is one-sided (infinite width), dim 1 has width 4
+        b = Bounds(
+            low=jnp.asarray([0.0, -2.0]), high=jnp.asarray([jnp.inf, 2.0])
+        )
+        g = jnp.full((1, 2), 1e7)
+        assert float(_kkt_threshold(self.CFG, g, b)) == pytest.approx(0.4)
 
 
 class TestFp32FloorStall:

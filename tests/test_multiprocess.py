@@ -15,58 +15,20 @@ THROUGHPUT/efficiency number lives in ``benchmarks/multiprocess_bench.py``
 (same runner, ``bench`` mode).
 """
 
-import json
-import os
-import socket
-import subprocess
-import sys
-
 import numpy as np
 import pytest
 
-
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
+from mp_launch import DistributedUnavailable, GroupTimeout, spawn_group
 
 
 def _spawn_two(mode: str, timeout: float = 540):
-    coordinator = f"127.0.0.1:{_free_port()}"
-    runner = os.path.join(os.path.dirname(__file__), "multiprocess_runner.py")
-    env = {
-        k: v for k, v in os.environ.items()
-        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
-    }
-    env["PYTHONPATH"] = os.pathsep.join(
-        [os.path.dirname(os.path.dirname(os.path.abspath(runner)))]
-        + env.get("PYTHONPATH", "").split(os.pathsep)
-    )
-    procs = [
-        subprocess.Popen(
-            [sys.executable, runner, coordinator, "2", str(i), mode, "4"],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
-        )
-        for i in range(2)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            out, err = p.communicate(timeout=timeout)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail(f"multi-process solve ({mode}) timed out")
-        if p.returncode != 0 and (
-            "UNAVAILABLE" in err or "DEADLINE" in err
-            or "permission" in err.lower()
-        ):
-            pytest.skip(
-                f"distributed init unavailable in this sandbox: {err[-300:]}"
-            )
-        assert p.returncode == 0, err[-2000:]
-        outs.append(json.loads(out.strip().splitlines()[-1]))
-    return outs
+    try:
+        return spawn_group(mode, num_procs=2, devices_per_proc=4,
+                           timeout=timeout)
+    except GroupTimeout:
+        pytest.fail(f"multi-process solve ({mode}) timed out")
+    except DistributedUnavailable as e:
+        pytest.skip(f"distributed init unavailable in this sandbox: {e}")
 
 
 def test_two_process_sharded_solve():

@@ -479,8 +479,7 @@ def _riccati_mid_raw(fx, fu, lx, lu, lxx, luu, lux, mu, VT, vT,
             pltpu.VMEM((3, BB), fx.dtype),
         ],
         interpret=interpret,
-        **({} if compiler_params is None
-           else {"compiler_params": compiler_params}),
+        compiler_params=compiler_params,
     )(*inputs)
     return out
 

@@ -111,7 +111,11 @@ class ILQRConfig:
     # reservoir (high_penalty=100) and navigation (unit weights) get the
     # same geometric accuracy from the same default. Interior optima
     # (g -> 0) degrade to the absolute test, which is the regime the
-    # residual/expected-improvement criteria already own. Pinned by
+    # residual/expected-improvement criteria already own. The threshold is
+    # additionally capped at 10% of the narrowest finite box width so it
+    # can never exceed the largest achievable projected gradient (see
+    # _kkt_threshold — without the cap, extreme cost scales make the test
+    # vacuously true everywhere in the box). Pinned by
     # tests/test_kkt_scaling.py.
     kkt_atol: float = 1e-4
 
@@ -132,6 +136,27 @@ def _kkt_scale(g, axes=None):
     per-lane for [B, T, m] batched gradients). See ILQRConfig.kkt_atol.
     """
     return jnp.maximum(1.0, jnp.max(jnp.abs(g), axis=axes))
+
+
+def _kkt_threshold(config, g, bounds, axes=None):
+    """Projected-gradient threshold: relative, but never vacuous.
+
+    ``kkt_atol * max(1, ||g||_inf)``, capped at 10% of the narrowest finite
+    box width. Without the cap, a cost scale with ``||g||_inf >= W /
+    kkt_atol`` pushes the threshold past the box width — the largest value
+    ``||U - clip(U - g)||_inf`` can ever take — and the stationarity test
+    passes at EVERY point in the box, converting a routine one-iteration
+    line-search stall into a false ``converged=True``. With the cap the
+    test always demands the projected gradient be small against the
+    feasible set itself; when fp32 noise in ``g`` exceeds 10% of the box
+    width no test can certify stationarity, and failing (mu ratchets to the
+    ceiling -> ``failed``) is the honest outcome. Infinite-width dims don't
+    bound pg (pg = g there), so only finite widths participate; all-infinite
+    bounds leave the relative test uncapped.
+    """
+    width = bounds.high - bounds.low
+    finite_w = jnp.min(jnp.where(jnp.isfinite(width), width, jnp.inf))
+    return jnp.minimum(config.kkt_atol * _kkt_scale(g, axes), 0.1 * finite_w)
 
 
 class ILQRResult(NamedTuple):
@@ -420,7 +445,9 @@ def _iteration(env: Env, state: _LoopState, config: ILQRConfig, alphas):
             def _kkt(_):
                 g = jax.grad(env.total_cost, argnums=1)(state.X[0], U_new)
                 pg = U_new - env.clip(U_new - g)
-                return jnp.max(jnp.abs(pg)) < config.kkt_atol * _kkt_scale(g)
+                return jnp.max(jnp.abs(pg)) < _kkt_threshold(
+                    config, g, env.bounds
+                )
 
             stationary = jax.lax.cond(
                 ~any_accepted, _kkt, lambda _: jnp.array(False), None

@@ -33,7 +33,7 @@ from tfmpc_tpu.solvers.ilqr import (
     ILQRTrace,
     _decrease_mu,
     _increase_mu,
-    _kkt_scale,
+    _kkt_threshold,
     backward,
     derivatives,
     forward,
@@ -484,7 +484,7 @@ def _iteration_fused(env: Env, state: _BatchState, kargs,
                 )
                 pg = U_new - env.clip(U_new - g)
                 return jnp.max(jnp.abs(pg), axis=(1, 2)) < (
-                    config.kkt_atol * _kkt_scale(g, axes=(1, 2))
+                    _kkt_threshold(config, g, env.bounds, axes=(1, 2))
                 )
 
             stationary = jax.lax.cond(
@@ -641,7 +641,7 @@ def _iteration_batched(env: Env, state: _BatchState, config: ILQRConfig, alphas)
                 )
                 pg = U_new - env.clip(U_new - g)
                 return jnp.max(jnp.abs(pg), axis=(1, 2)) < (
-                    config.kkt_atol * _kkt_scale(g, axes=(1, 2))
+                    _kkt_threshold(config, g, env.bounds, axes=(1, 2))
                 )
 
             stationary = jax.lax.cond(

@@ -112,14 +112,22 @@ def validate_state(state: SolverState, env) -> None:
             f"{env.action_size}) — wrong env for this checkpoint"
         )
     import jax
-    import jax.numpy as jnp
 
+    # np.asarray, NOT jnp: this only reads dtypes, and jnp.asarray would
+    # device-put the full trajectory (tens of MB at B=4096, T=500 — over
+    # the remote-dispatch tunnel on a TPU host) and, under default x64-off,
+    # silently canonicalize float64 to float32, masking the very
+    # "different x64 setting" mismatch this check exists to report.
+    # Python-scalar leaves are skipped: they are weakly typed in the
+    # compiled solve (they adopt the trajectory dtype), so they cannot
+    # cause the mismatch this check guards against — and np.asarray would
+    # mislabel them float64.
     env_dtypes = {
-        jnp.asarray(leaf).dtype
+        leaf.dtype
         for leaf in jax.tree_util.tree_leaves(env)
-        if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)
+        if hasattr(leaf, "dtype") and np.issubdtype(leaf.dtype, np.floating)
     }
-    x_dtype = jnp.asarray(state.X).dtype
+    x_dtype = np.asarray(state.X).dtype
     if env_dtypes and x_dtype not in env_dtypes:
         raise ValueError(
             f"checkpoint arrays are {x_dtype} but env "
