@@ -1,0 +1,55 @@
+#!/usr/bin/env bash
+# One-shot on-chip measurement sweep: run every TPU-facing tool in sequence
+# and append all output to a timestamped log. Written so a single command
+# captures everything the docs need the moment the axon tunnel returns from
+# an outage (hosting-managed, 30 min-3 h windows observed 2026-08-17).
+#
+# Usage:  bash benchmarks/onchip_sweep.sh [logfile]
+#
+# Sequential on purpose: one jax process at a time (remote-compile tunnel +
+# compile-cache discipline, see CLAUDE.md). Each step runs under `timeout`
+# so a hung tunnel cannot wedge the sweep; a step failing does not stop the
+# rest. Expect ~30-60 min total (mid-dim vmapped-scan XLA compiles alone
+# can take 4-9 min each through the tunnel).
+
+set -u
+cd "$(dirname "$0")/.."
+LOG="${1:-/tmp/onchip_sweep_$(date +%Y%m%d_%H%M%S).log}"
+export PYTHONPATH=/root/.axon_site:/root/repo
+
+health=$(curl -s -o /dev/null -w "%{http_code}" http://127.0.0.1:8103/health)
+if [ "$health" = "000" ]; then
+    echo "tunnel relay down (health=000) — aborting sweep" | tee -a "$LOG"
+    exit 1
+fi
+echo "tunnel health=$health; logging to $LOG"
+
+run() {
+    local name="$1" tmo="$2"; shift 2
+    echo "=== [$name] $(date -u +%H:%M:%S) :: $*" | tee -a "$LOG"
+    timeout "$tmo" "$@" >>"$LOG" 2>&1
+    local rc=$?
+    echo "=== [$name] exit=$rc $(date -u +%H:%M:%S)" | tee -a "$LOG"
+}
+
+# 1. Release gate: all 16 headline claims, incl. mid-dim parity/speedup and
+#    the T=500 fp64-oracle claims (the longest step: mid-dim scan compiles).
+run release_check 5400 python benchmarks/release_check.py
+
+# 2. Headline bench (driver-facing JSON line).
+run bench 1200 python bench.py
+
+# 3. Mid-dim kernel roofline: achieved %HBM/%VPU at 4 dims (VERDICT item 1).
+run middim_roofline 3600 python benchmarks/profile_stages.py --middim 16,24,32,48
+
+# 4. Full-pipeline profile through the mid kernel at n=m=16.
+run hvac16_profile 3600 python benchmarks/profile_stages.py --env hvac16
+
+# 5. MXU question: row-layout VPU kernel vs XLA batched-dot vs the
+#    B-as-M-dimension big-matmul upper bound (VERDICT item 1, accept/reject).
+run mxu_probe 2400 python benchmarks/mxu_probe.py --dims 16,24,32,48
+
+# 6. Config ladder (regenerates every README table row).
+run suite 5400 python benchmarks/suite.py
+
+echo "sweep complete: $LOG"
