@@ -203,3 +203,91 @@ class TestReservoirT500Oracle:
         pg = U_s - np.clip(U_s - g, p["low"], p["high"])
         kkt = float(np.abs(pg).max())
         assert kkt < 2e-2, f"T=500 KKT residual {kkt:.2e} in fp64 model"
+
+
+class TestHVAC16Oracle:
+    """fp64 anchor at MID-DIM state size (n = m = 16, the mid-kernel
+    family's flagship config). Round-3 gap: mid-dim accuracy was pinned
+    only transitively — kernel vs scan (tests/test_riccati_mid.py,
+    test_mid_integration.py) — never end-to-end against an independent
+    fp64 oracle. This anchors the scan path at n=16 directly; the existing
+    mid-kernel == scan parity tests extend the anchor to the kernel path."""
+
+    R = 16
+    T = 30
+
+    @classmethod
+    def _adj(cls):
+        # 16-room ring (same topology family as configs/hvac16.json)
+        a = np.zeros((cls.R, cls.R), int)
+        for i in range(cls.R):
+            a[i, (i + 1) % cls.R] = a[(i + 1) % cls.R, i] = 1
+        return a.tolist()
+
+    @classmethod
+    def _kw(cls):
+        return dict(
+            is_out=[1 if i % 2 == 0 else 0 for i in range(cls.R)],
+            is_hall=[0 if i % 2 == 0 else 1 for i in range(cls.R)],
+        )
+
+    @classmethod
+    def _x0(cls):
+        return [6.0 + 0.75 * i for i in range(cls.R)]  # 6..17.25 cold start
+
+    @pytest.fixture(scope="class")
+    def oracle(self):
+        from oracles import hvac_params_np, ilqr_hvac_boxqp_oracle_np
+
+        p = hvac_params_np(self._adj(), **self._kw())
+        X, U, J = ilqr_hvac_boxqp_oracle_np(
+            p, self._x0(), self.T, atol=1e-10
+        )
+        return p, X, U, J
+
+    def test_oracle_is_sane(self, oracle):
+        p, X, U, J = oracle
+        assert np.all(U >= -1e-12) and np.all(U <= 10.0 + 1e-12)
+        assert np.any(U > 9.99)  # the deep-cold rooms saturate heating
+        assert 20.0 - 1.0 < X[-1].mean() < 23.5 + 1.0
+
+    def test_solver_matches_oracle_at_n16(self, oracle):
+        import jax
+
+        from tfmpc_tpu.models.hvac import make_hvac
+
+        p, X_np, U_np, J_np = oracle
+        env = make_hvac(self._adj(), **self._kw())
+        res = ilqr.solve(
+            env, jnp.asarray(self._x0(), jnp.float32), horizon=self.T,
+            config=ilqr.ILQRConfig(atol=1e-10, max_iterations=300,
+                                   boxqp=True),
+        )
+        assert bool(res.converged)
+        assert abs(float(res.total_cost) - J_np) < 1e-5 * abs(J_np)
+
+        # KKT stationarity of both solutions in the fp64 model (HVAC's
+        # linear-in-u air cost makes raw control pins unattainable — see
+        # TestConstrainedOracle's docstring; same anchors here at n=16)
+        env64 = make_hvac(self._adj(), **self._kw(), dtype=jnp.float64)
+        x064 = jnp.asarray(self._x0(), jnp.float64)
+
+        def kkt_residual(U):
+            g = np.asarray(
+                jax.grad(lambda u: env64.total_cost(x064, u))(
+                    jnp.asarray(U, jnp.float64)
+                )
+            )
+            pg = np.asarray(U, float) - np.clip(
+                np.asarray(U, float) - g, 0.0, 10.0
+            )
+            return float(np.abs(pg).max())
+
+        assert kkt_residual(U_np) < 1e-5
+        assert kkt_residual(np.asarray(res.actions)) < 5e-3  # fp32 floor
+
+        # saturation pattern agreement
+        sat = lambda U: (np.asarray(U, float) <= 1e-6) | (
+            np.asarray(U, float) >= 10.0 - 1e-4
+        )
+        assert (sat(U_np) == sat(res.actions)).mean() >= 0.98
