@@ -21,6 +21,34 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_TUNNEL_NOTE = ""
+
+
+def _guard_dead_tunnel():
+    """Fail fast instead of hanging when the remote-TPU relay is down.
+
+    The axon plugin (registered whenever /root/.axon_site is on PYTHONPATH)
+    blocks backend init indefinitely on a dead tunnel (health endpoint
+    returns nothing; the process sits at 0 CPU — CLAUDE.md). Hosting-managed
+    outages of 30 min-3 h were observed 2026-08-17; if the driver runs this
+    bench during one, a silent hang would read as a stall. Probe the relay
+    health endpoint with a bounded timeout and fall back to the CPU backend
+    with an explicit marker in the JSON line rather than hanging.
+    """
+    global _TUNNEL_NOTE
+    if ".axon_site" not in os.environ.get("PYTHONPATH", ""):
+        return
+    import urllib.error
+    import urllib.request
+
+    try:
+        urllib.request.urlopen("http://127.0.0.1:8103/health", timeout=5)
+    except urllib.error.HTTPError:
+        return  # relay responded (any HTTP status): tunnel is alive
+    except Exception:
+        jax.config.update("jax_platforms", "cpu")
+        _TUNNEL_NOTE = " [CPU FALLBACK: TPU tunnel relay down at bench time]"
+
 
 def main():
     """Optional env knobs (SURVEY §5 tracing row):
@@ -34,6 +62,7 @@ def main():
     from tfmpc_tpu.parallel import mesh as pmesh
     from tfmpc_tpu.solvers import ilqr
 
+    _guard_dead_tunnel()
     devices = jax.devices()
     n_dev = len(devices)
 
@@ -114,7 +143,7 @@ def main():
                     f"batched iLQR solves/s (navigation T=100, B={B}, "
                     f"{n_dev} {devices[0].platform} device(s), "
                     f"{frac:.3f} converged, sustained: {REPS} solves per "
-                    f"host dispatch)"
+                    f"host dispatch){_TUNNEL_NOTE}"
                 ),
                 "value": round(solves_per_s, 1),
                 "unit": "solves/s",
