@@ -22,6 +22,7 @@ import json
 import time
 import traceback
 
+import _bootstrap  # noqa: F401  (repo root onto sys.path)
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import json
 
+import _bootstrap  # noqa: F401  (repo root onto sys.path)
 import jax
 import jax.numpy as jnp
 import numpy as np

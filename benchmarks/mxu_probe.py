@@ -37,6 +37,7 @@ import argparse
 import functools
 import json
 
+import _bootstrap  # noqa: F401  (repo root onto sys.path)
 import jax
 import jax.numpy as jnp
 import numpy as np

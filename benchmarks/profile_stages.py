@@ -45,6 +45,7 @@ import argparse
 import dataclasses
 import json
 
+import _bootstrap  # noqa: F401  (repo root onto sys.path)
 import jax
 import jax.numpy as jnp
 import numpy as np

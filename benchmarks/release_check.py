@@ -8,6 +8,7 @@ failure. Covers the five BASELINE configs plus the superset features
 
 import sys
 
+import _bootstrap  # noqa: F401  (repo root onto sys.path)
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -28,6 +28,7 @@ import argparse
 import json
 import time
 
+import _bootstrap  # noqa: F401  (repo root onto sys.path)
 import jax
 import jax.numpy as jnp
 import numpy as np
