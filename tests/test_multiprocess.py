@@ -63,7 +63,10 @@ def test_two_process_kernel_path():
     """boxQP + Pallas kernels (interpret) + trace across the process
     boundary: the full production path, not just the unconstrained XLA
     fallback."""
-    outs = _spawn_two("kernels")
+    # Generous deadline: the interpret-mode kernels take ~200 s unloaded,
+    # but under the full suite this test shares the machine with 4 xdist
+    # workers AND its own two children — measured >540 s there.
+    outs = _spawn_two("kernels", timeout=1500)
 
     for o in outs:
         assert o["devices"] == 8
