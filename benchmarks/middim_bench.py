@@ -71,6 +71,13 @@ def main():
     ap.add_argument("--horizon", type=int, default=100)
     ap.add_argument("--dims", default="16,24")
     ap.add_argument("--boxqp-only", action="store_true")
+    ap.add_argument("--scan-only", action="store_true",
+                    help="Time only the vmapped-scan backward: quantifies "
+                         "the dims > MID_DIM_MAX fallback path (no kernel "
+                         "exists there, so the scan IS the product path). "
+                         "Use a reduced --batch at d >= 64: the synthetic "
+                         "linearization is ~5 B*T*d^2 fp32 arrays "
+                         "(d=64, B=256, T=100 -> ~2 GB HBM).")
     args = ap.parse_args()
 
     import dataclasses
@@ -93,10 +100,14 @@ def main():
                     lambda l, q, f, mv: ilqr.backward(l, q, f, mv, cfg)
                 )(dataclasses.replace(lin, f_x=lin.f_x + e), quad, final, mu
                 )[1].k)),
-                ("mid-kernel", lambda e: jnp.sum(riccati_backward_mid(
-                    dataclasses.replace(lin, f_x=lin.f_x + e), quad, final, mu
-                )[1].k)),
             ]
+            if not args.scan_only:
+                variants += [
+                    ("mid-kernel", lambda e: jnp.sum(riccati_backward_mid(
+                        dataclasses.replace(lin, f_x=lin.f_x + e), quad,
+                        final, mu
+                    )[1].k)),
+                ]
         cfgb = ilqr.ILQRConfig(boxqp=True, boxqp_iters=8)
         variants += [
             ("scan-boxqp", lambda e: jnp.sum(jax.vmap(
@@ -104,12 +115,15 @@ def main():
                     l, q, f, mv, cfgb, bounds=bounds, Ubar=u)
             )(dataclasses.replace(lin, f_x=lin.f_x + e), quad, final, mu,
               Ubar)[1].k)),
-            ("mid-kernel-boxqp", lambda e: jnp.sum(
-                riccati_backward_mid_boxqp(
-                    dataclasses.replace(lin, f_x=lin.f_x + e), quad, final,
-                    mu, bounds, Ubar, boxqp_iters=8
-                )[1].k)),
         ]
+        if not args.scan_only:
+            variants += [
+                ("mid-kernel-boxqp", lambda e: jnp.sum(
+                    riccati_backward_mid_boxqp(
+                        dataclasses.replace(lin, f_x=lin.f_x + e), quad,
+                        final, mu, bounds, Ubar, boxqp_iters=8
+                    )[1].k)),
+            ]
         times = {}
         for name, make in variants:
             ms, comp = _timed(make)

@@ -52,4 +52,9 @@ run mxu_probe 2400 python benchmarks/mxu_probe.py --dims 16,24,32,48
 # 6. Config ladder (regenerates every README table row).
 run suite 5400 python benchmarks/suite.py
 
+# 7. Dims > MID_DIM_MAX fallback: the vmapped scan IS the product path
+#    there — record what it costs (reduced batch: ~5 B*T*d^2 fp32 inputs).
+run largedim_scan 2400 python benchmarks/middim_bench.py \
+    --scan-only --dims 64,96 --batch 256
+
 echo "sweep complete: $LOG"
