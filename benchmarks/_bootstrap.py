@@ -14,3 +14,15 @@ import sys
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _ROOT not in sys.path:
     sys.path.append(_ROOT)
+
+# Persistent XLA compile cache, shared with the pytest suite's. The mid-dim
+# vmapped-scan compiles take 4-9 MINUTES each through the axon tunnel
+# (CLAUDE.md); with the cache a re-run of any sweep tool skips them. The
+# cache key includes the HLO and backend, so CPU/TPU entries coexist and a
+# hit cannot change results — only `compile_s` readings, which report the
+# cached (fast) path on re-runs. Harmless if the backend does not support
+# executable serialization (jax falls back to compiling).
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/tfmpc_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
