@@ -195,3 +195,35 @@ class TestShardedSolve:
         np.testing.assert_allclose(
             float(res_s.total_cost), float(res_u.total_cost), rtol=1e-5
         )
+
+    def test_combined_data_time_sharding(self, env):
+        """Data AND time parallelism in ONE solve: batched x0 sharded over
+        the "data" axis of a 2-D ("data", "time") mesh while the parallel
+        backward's [T]-axis constraints shard the horizon. GSPMD composes
+        the two — the result comes back sharded P("data", "time") over all
+        8 devices, and matches the unsharded solve exactly."""
+        from jax.sharding import PartitionSpec as P
+
+        x0 = jnp.asarray(
+            np.random.default_rng(7).uniform(-4, 4, size=(4, 2)).astype("f4")
+        )
+        cfg = ilqr.ILQRConfig(
+            atol=1e-5, max_iterations=40, parallel_backward=True
+        )
+        res_u = ilqr.solve_batch(env, x0, horizon=32, config=cfg)
+
+        mesh2 = pmesh.make_mesh_2d(2, 4)
+        x0_s = pmesh.shard_batch(x0, mesh2)  # B=4 % data-axis 2 == 0
+        res_s = pmesh.solve_ilqr_time_sharded(
+            env, x0_s, horizon=32, config=cfg, mesh=mesh2
+        )
+        assert bool(np.asarray(res_s.converged).all())
+        np.testing.assert_allclose(
+            np.asarray(res_s.actions), np.asarray(res_u.actions),
+            rtol=1e-4, atol=1e-5,
+        )
+        # the [B, T, m] actions must actually spread over BOTH mesh axes
+        assert len(res_s.actions.sharding.device_set) == 8
+        assert res_s.actions.sharding.spec == P(
+            pmesh.DATA_AXIS, pmesh.TIME_AXIS
+        )

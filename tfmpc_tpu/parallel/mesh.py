@@ -63,7 +63,9 @@ def shard_batch(x: jax.Array, mesh: Mesh) -> jax.Array:
     if jax.process_count() > 1:
         return jax.make_array_from_process_local_data(sharding, np.asarray(x))
     B = x.shape[0]
-    n = mesh.devices.size
+    # Only the "data" axis splits the batch: on a 2-D ("data", "time") mesh
+    # the time axis shards the horizon, not the batch.
+    n = mesh.shape[DATA_AXIS]
     if B % n != 0:
         raise ValueError(
             f"batch size {B} must be divisible by the {n}-device data axis"
@@ -216,6 +218,14 @@ def solve_ilqr_time_sharded(
     collectives. Composes with boxqp via the parallel boxQP gains re-pass.
     Exactness vs the unsharded parallel-backward solve is pinned in
     tests/test_distributed.py.
+
+    **Combined data x time parallelism**: pass a 2-D ``("data", "time")``
+    mesh (``make_mesh_2d``) and a batched ``x0`` pre-sharded over the
+    "data" axis (``shard_batch``). GSPMD propagates the batch sharding
+    through the solve while the [T]-axis constraints shard the horizon —
+    the result's [B, T, ...] tensors come back sharded
+    ``P("data", "time")`` over the full mesh. Exactness pinned in
+    tests/test_distributed.py::test_combined_data_time_sharding.
     """
     import dataclasses
 
