@@ -69,6 +69,32 @@ def test_closed_loop_cost_tracks_plan(nav_env):
     assert float(res.total_cost) <= float(res.plan_cost[0]) * 1.01 + 1e-3
 
 
+def test_sharded_closed_loop_matches_unsharded(nav_env):
+    """MPC inherits data-parallel sharding end to end: a `shard_batch`-placed
+    x0 runs the whole closed loop sharded (outputs stay on all devices) and
+    matches the unsharded run exactly — the deployment driver composes with
+    the mesh machinery without any MPC-specific sharding code."""
+    from tfmpc_tpu.parallel import mesh as pmesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    x0 = jnp.asarray(
+        np.random.default_rng(9).uniform(-4, 4, size=(8, 2)).astype("f4")
+    )
+    cfg = ilqr.ILQRConfig(atol=1e-4, max_iterations=10)
+    res_u = mpc.run(nav_env, x0, steps=5, plan_horizon=12, config=cfg)
+    mesh = pmesh.make_mesh(8)
+    res_s = mpc.run(
+        nav_env, pmesh.shard_batch(x0, mesh),
+        steps=5, plan_horizon=12, config=cfg,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_s.actions), np.asarray(res_u.actions),
+        rtol=1e-4, atol=1e-5,
+    )
+    assert len(res_s.actions.sharding.device_set) == 8
+
+
 def test_cli_mpc_command(tmp_path):
     import json
     from click.testing import CliRunner
