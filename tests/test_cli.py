@@ -92,6 +92,47 @@ class TestILQRCommand:
         assert result.exit_code != 0
         assert "divisible" in result.output
 
+    def test_time_workers_single_solve(self, runner, nav_config):
+        """--time-workers alone: the horizon sharded over devices."""
+        import jax
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        result = runner.invoke(
+            cli,
+            ["ilqr", "--env", nav_config, "-T", "32", "--atol", "1e-6",
+             "--time-workers", "4"],
+        )
+        assert result.exit_code == 0, result.output
+        assert "converged=True" in result.output
+        assert "horizon sharded over 4 device(s)" in result.output
+
+    def test_time_workers_combined_with_batch(self, runner, nav_config):
+        """--num-samples + --time-workers: the 2-D (data, time) mesh."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        result = runner.invoke(
+            cli,
+            ["ilqr", "--env", nav_config, "-T", "32",
+             "--num-samples", "4", "--time-workers", "4"],
+        )
+        assert result.exit_code == 0, result.output
+        assert "solved 4 scenarios on 2x4 (data x time) devices" in result.output
+        assert "4/4 converged" in result.output
+
+    def test_time_workers_too_many_errors(self, runner, nav_config):
+        import jax
+
+        n = len(jax.devices())
+        result = runner.invoke(
+            cli,
+            ["ilqr", "--env", nav_config, "--time-workers", str(n + 1)],
+        )
+        assert result.exit_code != 0
+        assert "time-workers" in result.output
+
 
 class TestLQRBatched:
     def test_num_samples(self, runner, tmp_path):

@@ -178,9 +178,14 @@ def lqr(state_size, action_size, horizon, seed, x0_scale, parallel,
                    "--no-pallas for such envs.")
 @click.option("--parallel-backward", is_flag=True, default=False,
               help="O(log T) associative-scan backward pass (long horizons).")
+@click.option("--time-workers", default=1, show_default=True, type=int,
+              help="Shard the HORIZON over this many devices (sequence "
+                   "parallelism; implies --parallel-backward). Composes "
+                   "with the scenario batch: the remaining devices form "
+                   "the data axis of a 2-D (data, time) mesh.")
 def ilqr(env_path, horizon, atol, max_iterations, x0_json, num_samples,
          num_workers, seed, logdir, boxqp_flag, pallas_flag,
-         parallel_backward):
+         parallel_backward, time_workers):
     """Solve a differentiable env from a JSON config with iLQR.
 
     Reference analogue: ``tfmpc ilqr`` (SURVEY §3.1).
@@ -226,6 +231,39 @@ def ilqr(env_path, horizon, atol, max_iterations, x0_json, num_samples,
     )
     trace_iters = logger.isEnabledFor(logging.INFO)
 
+    n_avail = len(jax.devices())
+    if time_workers < 1 or time_workers > n_avail:
+        raise click.UsageError(
+            f"--time-workers {time_workers} must be in [1, {n_avail}] "
+            f"(visible devices)"
+        )
+
+    if num_samples == 1 and time_workers > 1:
+        # Sequence-parallel single solve: horizon sharded over devices.
+        mesh_t = pmesh.make_mesh_2d(1, time_workers)
+        if trace_iters:
+            batch, trace = pmesh.solve_ilqr_time_sharded(
+                env, jnp.asarray(x0_single)[None], horizon=horizon,
+                config=config, mesh=mesh_t, return_trace=True,
+            )
+            _log_trace(trace, upto=int(batch.iterations[0]))
+            result = jax.tree_util.tree_map(lambda a: a[0], batch)
+        else:
+            result = pmesh.solve_ilqr_time_sharded(
+                env, jnp.asarray(x0_single), horizon=horizon,
+                config=config, mesh=mesh_t,
+            )
+        click.echo(repr(Trajectory.from_result(result)))
+        click.echo(
+            f"converged={bool(result.converged)} iterations={int(result.iterations)} "
+            f"total_cost={float(result.total_cost):.6f} "
+            f"residual={float(result.residual):.3e} "
+            f"(horizon sharded over {time_workers} device(s))"
+        )
+        for p in _save_trajectories(result, logdir, 1):
+            click.echo(f"trajectory saved to {p}")
+        sys.exit(0 if bool(result.converged) else 3)
+
     if num_samples == 1:
         if trace_iters:
             # Per-iteration log lines (reference --verbose surface, SURVEY §5
@@ -255,14 +293,43 @@ def ilqr(env_path, horizon, atol, max_iterations, x0_json, num_samples,
     x0_batch = x0_single[None, :] + rng.normal(
         size=(num_samples, n)
     ).astype(np.float32)
-    mesh = pmesh.make_mesh(num_workers)
-    n_dev = mesh.devices.size
+    if time_workers > 1:
+        # Combined data x time: remaining devices form the data axis.
+        n_data = num_workers or max(1, n_avail // time_workers)
+        if n_data * time_workers > n_avail:
+            raise click.UsageError(
+                f"--num-workers {n_data} x --time-workers {time_workers} "
+                f"exceeds the {n_avail} visible devices"
+            )
+        mesh = pmesh.make_mesh_2d(n_data, time_workers)
+        n_dev = n_data
+    else:
+        mesh = pmesh.make_mesh(num_workers)
+        n_dev = mesh.devices.size
     if num_samples % n_dev != 0:
         raise click.UsageError(
             f"--num-samples {num_samples} must be divisible by the device "
             f"count {n_dev} (pass --num-workers to change it)"
         )
-    if trace_iters:
+    if time_workers > 1:
+        x0_s = pmesh.shard_batch(jnp.asarray(x0_batch), mesh)
+        out = pmesh.solve_ilqr_time_sharded(
+            env, x0_s, horizon=horizon, config=config, mesh=mesh,
+            return_trace=trace_iters,
+        )
+        result, trace = out if trace_iters else (out, None)
+        if trace_iters:
+            J = np.asarray(trace.J)
+            conv = np.asarray(trace.converged)
+            mu_tr = np.asarray(trace.mu)
+            upto = int(np.max(np.asarray(result.iterations)))
+            for i in range(min(upto, J.shape[0])):
+                logger.info(
+                    "iteration=%d mean_cost=%.6f frac_converged=%.3f "
+                    "mean_mu=%.3e",
+                    i, J[i].mean(), conv[i].mean(), mu_tr[i].mean(),
+                )
+    elif trace_iters:
         result, trace = pmesh.solve_ilqr_sharded(
             env, jnp.asarray(x0_batch), horizon=horizon, config=config,
             mesh=mesh, return_trace=True,
@@ -282,8 +349,12 @@ def ilqr(env_path, horizon, atol, max_iterations, x0_json, num_samples,
             mesh=mesh,
         )
     stats = jax.device_get(pmesh.summarize(result))
+    dev_str = (
+        f"{n_dev} device(s)" if time_workers == 1
+        else f"{n_dev}x{time_workers} (data x time) devices"
+    )
     click.echo(
-        f"solved {num_samples} scenarios on {n_dev} device(s): "
+        f"solved {num_samples} scenarios on {dev_str}: "
         f"{int(stats['num_converged'])}/{num_samples} converged, "
         f"mean_cost={float(stats['mean_cost']):.6f} "
         f"mean_iterations={float(stats['mean_iterations']):.1f}"

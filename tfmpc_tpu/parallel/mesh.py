@@ -207,6 +207,7 @@ def solve_ilqr_time_sharded(
     horizon: int,
     config: _ilqr.ILQRConfig = _ilqr.ILQRConfig(),
     mesh: Optional[Mesh] = None,
+    return_trace: bool = False,
 ):
     """iLQR solve with the backward pass sharded over the horizon.
 
@@ -236,8 +237,14 @@ def solve_ilqr_time_sharded(
     )
     with jax.set_mesh(mesh):
         if x0.ndim == 1:
+            if return_trace:
+                raise ValueError(
+                    "return_trace needs the batched path; pass x0[None]"
+                )
             return _ilqr.solve(env, x0, horizon=horizon, config=cfg)
-        return _ilqr.solve_batch(env, x0, horizon=horizon, config=cfg)
+        return _ilqr.solve_batch(
+            env, x0, horizon=horizon, config=cfg, return_trace=return_trace
+        )
 
 
 def init_multihost(**kwargs) -> None:
