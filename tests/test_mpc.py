@@ -95,6 +95,30 @@ def test_sharded_closed_loop_matches_unsharded(nav_env):
     assert len(res_s.actions.sharding.device_set) == 8
 
 
+def test_cli_mpc_fleet(tmp_path):
+    import json
+    from click.testing import CliRunner
+    from tfmpc_tpu.cli import cli
+
+    cfg = {
+        "name": "navigation",
+        "goal": [5.0, 5.0],
+        "deceleration": {"center": [[2.0, 2.0]], "decay": [1.5]},
+        "x0": [0.0, 0.0],
+    }
+    path = tmp_path / "nav.json"
+    path.write_text(json.dumps(cfg))
+    logdir = str(tmp_path / "fleet")
+    result = CliRunner().invoke(
+        cli, ["mpc", "--env", str(path), "--steps", "6",
+              "--plan-horizon", "5", "--num-samples", "8",
+              "--logdir", logdir],
+    )
+    assert result.exit_code == 0, result.output
+    assert "closed-loop fleet of 8" in result.output
+    assert len(list((tmp_path / "fleet").glob("mpc_trajectory_*.csv"))) == 8
+
+
 def test_cli_mpc_command(tmp_path):
     import json
     from click.testing import CliRunner

@@ -383,10 +383,14 @@ def ilqr(env_path, horizon, atol, max_iterations, x0_json, num_samples,
               show_default=True,
               help="Fused Pallas kernels where eligible (shape fallback "
                    "is automatic; --no-pallas for envs that don't lower).")
+@click.option("--num-samples", default=1, show_default=True,
+              help="Closed-loop scenario fleet: x0 is perturbed into this "
+                   "many rollouts, run in one sharded on-device program.")
+@click.option("--seed", default=0, show_default=True)
 @click.option("--logdir", type=click.Path(), default=None,
               help="Write the realized closed-loop trajectory CSV here.")
 def mpc(env_path, steps, plan_horizon, atol, max_iterations, x0_json,
-        boxqp_flag, pallas_flag, logdir):
+        boxqp_flag, pallas_flag, num_samples, seed, logdir):
     """Closed-loop receding-horizon MPC from a JSON env config.
 
     Re-solves a ``--plan-horizon`` iLQR instance each step (warm-started),
@@ -421,6 +425,46 @@ def mpc(env_path, steps, plan_horizon, atol, max_iterations, x0_json,
         atol=atol, max_iterations=max_iterations, boxqp=boxqp_flag,
         use_pallas=pallas_flag,
     )
+    if num_samples > 1:
+        # Scenario fleet: perturbed x0 batch, data-sharded closed loop
+        # (mpc.run inherits the batch sharding end to end —
+        # tests/test_mpc.py::test_sharded_closed_loop_matches_unsharded).
+        from tfmpc_tpu.parallel import mesh as pmesh
+
+        rng = np.random.default_rng(seed)
+        x0_batch = x0[None, :] + rng.normal(
+            size=(num_samples, n)
+        ).astype(np.float32)
+        mesh = pmesh.make_mesh()
+        n_dev = mesh.devices.size
+        if num_samples % n_dev == 0:
+            x0_in = pmesh.shard_batch(jnp.asarray(x0_batch), mesh)
+        else:  # indivisible fleets run replicated rather than erroring
+            n_dev = 1
+            x0_in = jnp.asarray(x0_batch)
+        res = mpc_solver.run(
+            env, x0_in, steps=steps, plan_horizon=plan_horizon, config=config,
+        )
+        conv = np.asarray(res.converged)
+        click.echo(
+            f"closed-loop fleet of {num_samples} on {n_dev} device(s): "
+            f"mean_total_cost={float(np.asarray(res.total_cost).mean()):.6f} "
+            f"replans_converged={int(conv.sum())}/{conv.size} "
+            f"mean_replan_iterations={float(np.asarray(res.iterations).mean()):.1f}"
+        )
+        if logdir:
+            for i in range(num_samples):
+                costs_i = np.concatenate([
+                    np.asarray(res.costs[i]), [float(res.final_cost[i])],
+                ])
+                tr = Trajectory(
+                    np.asarray(res.states[i]), np.asarray(res.actions[i]),
+                    costs_i,
+                )
+                tr.save(os.path.join(logdir, f"mpc_trajectory_{i:04d}.csv"))
+            click.echo(f"{num_samples} trajectories saved to {logdir}")
+        return
+
     res = mpc_solver.run(
         env, jnp.asarray(x0), steps=steps, plan_horizon=plan_horizon,
         config=config,
