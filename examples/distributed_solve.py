@@ -46,6 +46,22 @@ def main():
     print(f"result sharding spans "
           f"{len(result.states.sharding.device_set)} device(s)")
 
+    # Combined data x time parallelism: the batch over the "data" axis AND
+    # the horizon over the "time" axis of one 2-D mesh, in one solve —
+    # outputs come back P("data", "time") over the full mesh.
+    if n_dev % 2 == 0 and n_dev > 1:
+        mesh2 = pmesh.make_mesh_2d(n_dev // 2, 2)
+        x0_dt = pmesh.shard_batch(x0, mesh2)
+        res_dt = pmesh.solve_ilqr_time_sharded(
+            env, x0_dt, horizon=T,
+            config=ILQRConfig(atol=1e-4, max_iterations=30,
+                              parallel_backward=True),
+            mesh=mesh2,
+        )
+        print(f"combined data x time ({n_dev // 2}x2): outputs on "
+              f"{len(res_dt.actions.sharding.device_set)} device(s), "
+              f"spec {res_dt.actions.sharding.spec}")
+
 
 if __name__ == "__main__":
     main()
