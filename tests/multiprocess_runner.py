@@ -201,6 +201,32 @@ elif mode == "bench":
         "summary_collective_ops": [f"{op} -> {shp}" for shp, op in sum_coll],
     }), flush=True)
 
+elif mode == "timeshard":
+    # Sequence parallelism across a REAL process boundary: the horizon axis
+    # sharded over all global devices, so the associative-scan composition's
+    # collectives cross process (i.e. would-be-DCN) links. Inputs are
+    # identical host-local arrays on both processes (multi-controller jax
+    # treats them as replicated); the scalar outputs are replicated, so
+    # both processes must print the same statistics.
+    from jax.sharding import Mesh
+
+    env = make_navigation(
+        goal=[8.0, -5.0],
+        deceleration={"center": [[3.0, -2.0]], "decay": [2.0]},
+    )
+    x0 = rng.uniform(-5.0, 5.0, size=(4, 2)).astype("float32")
+    mesh_t = Mesh(np.asarray(jax.devices()), (pmesh.TIME_AXIS,))
+    cfg = ilqr.ILQRConfig(atol=1e-4, max_iterations=25)
+    res = pmesh.solve_ilqr_time_sharded(
+        env, jnp.asarray(x0), horizon=16, config=cfg, mesh=mesh_t
+    )
+    print(json.dumps({
+        "process": proc_id,
+        "devices": n_global,
+        "num_converged": int(jax.device_get(jnp.sum(res.converged))),
+        "mean_cost": float(jax.device_get(jnp.mean(res.total_cost))),
+    }), flush=True)
+
 else:
     raise SystemExit(f"unknown mode {mode!r}")
 

@@ -100,3 +100,35 @@ def test_two_process_kernel_path():
     np.testing.assert_allclose(
         outs[0]["mean_cost"], float(jnp.mean(res.total_cost)), rtol=1e-4
     )
+
+
+def test_two_process_time_sharded():
+    """Sequence parallelism across a REAL process boundary: the horizon
+    axis sharded over all 8 global devices, so the associative-scan
+    backward's composition collectives cross the (would-be-DCN) process
+    link — and the result still matches the single-process solve."""
+    outs = _spawn_two("timeshard")
+
+    for o in outs:
+        assert o["devices"] == 8
+    assert outs[0]["num_converged"] == outs[1]["num_converged"] == 4
+    assert abs(outs[0]["mean_cost"] - outs[1]["mean_cost"]) < 1e-5
+
+    import jax.numpy as jnp
+
+    from tfmpc_tpu.models.navigation import make_navigation
+    from tfmpc_tpu.solvers import ilqr
+
+    env_ = make_navigation(
+        goal=[8.0, -5.0], deceleration={"center": [[3.0, -2.0]], "decay": [2.0]}
+    )
+    x0 = np.random.default_rng(0).uniform(-5, 5, size=(4, 2)).astype("float32")
+    res = ilqr.solve_batch(
+        env_, jnp.asarray(x0), horizon=16,
+        config=ilqr.ILQRConfig(
+            atol=1e-4, max_iterations=25, parallel_backward=True
+        ),
+    )
+    np.testing.assert_allclose(
+        outs[0]["mean_cost"], float(jnp.mean(res.total_cost)), rtol=1e-5
+    )
