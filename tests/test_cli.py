@@ -41,6 +41,22 @@ class TestLQRCommand:
         # identical problem/seed -> near-identical printed trajectories
         assert seq.output.splitlines()[0] == par.output.splitlines()[0]
 
+    def test_time_workers_matches_sequential(self, runner):
+        import jax
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        seq = runner.invoke(
+            cli, ["lqr", "-n", "3", "-m", "2", "-T", "16", "--sequential"]
+        )
+        sh = runner.invoke(
+            cli, ["lqr", "-n", "3", "-m", "2", "-T", "16",
+                  "--time-workers", "4"],
+        )
+        assert sh.exit_code == 0, sh.output
+        # identical problem/seed -> near-identical printed trajectories
+        assert seq.output.splitlines()[0] == sh.output.splitlines()[0]
+
     def test_logdir_writes_csv(self, runner, tmp_path):
         logdir = str(tmp_path / "out")
         result = runner.invoke(

@@ -104,9 +104,12 @@ def _save_trajectories(result, logdir, num_samples):
 @click.option("--num-samples", default=1, show_default=True,
               help="Batch of random initial states rolled under the one "
                    "optimal policy (LQR gains are state-independent).")
+@click.option("--time-workers", default=1, show_default=True, type=int,
+              help="Shard the horizon over this many devices (implies "
+                   "--parallel).")
 @click.option("--logdir", type=click.Path(), default=None, help="Write trajectory CSVs here.")
 def lqr(state_size, action_size, horizon, seed, x0_scale, parallel,
-        num_samples, logdir):
+        num_samples, time_workers, logdir):
     """Generate a random LQR problem and solve it exactly.
 
     Reference analogue: ``tfmpc lqr`` (SURVEY §3.2).
@@ -126,6 +129,21 @@ def lqr(state_size, action_size, horizon, seed, x0_scale, parallel,
         "solving LQR n=%d m=%d T=%d on %s", state_size, action_size, horizon,
         jax.devices()[0].platform,
     )
+    if time_workers > 1:
+        # Horizon-sharded Riccati: pin the problem's [T] tensors to a
+        # "time" mesh (requires the associative-scan backward).
+        from tfmpc_tpu.parallel import mesh as pmesh
+
+        n_avail = len(jax.devices())
+        if time_workers > n_avail:
+            raise click.UsageError(
+                f"--time-workers {time_workers} exceeds the {n_avail} "
+                f"visible devices"
+            )
+        parallel = True
+        problem = pmesh.shard_problem_time(
+            problem, pmesh.make_mesh_2d(1, time_workers)
+        )
     if num_samples > 1:
         x0 = x0_scale * jax.random.normal(kx, (num_samples, state_size))
         states, actions, costs = lqr_solver.solve(problem, x0, parallel=parallel)
