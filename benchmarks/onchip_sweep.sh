@@ -49,6 +49,12 @@ run hvac16_profile 3600 python benchmarks/profile_stages.py --env hvac16
 #    B-as-M-dimension big-matmul upper bound (VERDICT item 1, accept/reject).
 run mxu_probe 2400 python benchmarks/mxu_probe.py --dims 16,24,32,48
 
+# 5b. Remaining roofline modes (round-2 VERDICT weak #2): the long-horizon
+#     T=500 constrained pipeline and the boxQP lane kernel at its n=12
+#     ceiling.
+run reservoir_profile 3600 python benchmarks/profile_stages.py --env reservoir
+run hvac12_profile 3600 python benchmarks/profile_stages.py --env hvac12
+
 # 6. Config ladder (regenerates every README table row).
 run suite 5400 python benchmarks/suite.py
 

@@ -25,7 +25,7 @@ latency/dependency-bound (the sequential Riccati chain).
 Usage::
 
   python benchmarks/profile_stages.py [--batch 4096] [--horizon 100]
-                                      [--env navigation|hvac|hvac16]
+                       [--env navigation|hvac|hvac16|reservoir|hvac12]
   python benchmarks/profile_stages.py --middim 16,24,32,48 [--batch 1024]
 
 ``--env hvac`` profiles the box-constrained pipeline (boxQP backward kernel
@@ -36,7 +36,10 @@ is the synthetic mid-dim sweep (round-2 VERDICT missing #4: the mid
 kernel's 21-30x speedup over the scan was measured, but its fraction of
 either roofline never was): achieved %HBM / %VPU for
 ``riccati_backward_mid(_boxqp)`` at each dim, same bytes/FLOP models as
-the env stages.
+the env stages. ``--env reservoir`` profiles the long-horizon (T=500)
+constrained pipeline and ``--env hvac12`` the boxQP LANE kernel at its
+n = m = 12 ceiling (round-2 VERDICT weak #2: neither had a profiling
+mode).
 """
 
 from __future__ import annotations
@@ -205,7 +208,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--horizon", type=int, default=None)
-    ap.add_argument("--env", choices=["navigation", "hvac", "hvac16"],
+    ap.add_argument("--env", choices=["navigation", "hvac", "hvac16",
+                                      "reservoir", "hvac12"],
                     default="navigation")
     ap.add_argument("--middim", default=None, metavar="DIMS",
                     help="comma-separated dims for the synthetic mid-dim "
@@ -230,7 +234,12 @@ def main():
     from tfmpc_tpu.solvers import ilqr
     from tfmpc_tpu.solvers.ilqr_batched import _derivatives_batched
 
-    default_B, default_T = (512, 50) if args.env == "hvac16" else (4096, 100)
+    default_B, default_T = {
+        "hvac16": (512, 50),       # mid-dim kernels: keep the VMEM-heavy
+                                   # shapes inside the measurement loop
+        "reservoir": (1024, 500),  # the long-horizon constrained config
+        "hvac12": (2048, 100),     # lane kernel at its n=m=12 ceiling
+    }.get(args.env, (4096, 100))
     B = args.batch if args.batch is not None else default_B
     T = args.horizon if args.horizon is not None else default_T
     rng = np.random.default_rng(0)
@@ -251,6 +260,23 @@ def main():
             os.path.dirname(__file__), "..", "configs", "hvac16.json"
         ))
         x0 = jnp.asarray(rng.uniform(8, 18, size=(B, 16)).astype("f4"))
+    elif args.env == "reservoir":
+        from tfmpc_tpu.models.reservoir import make_reservoir
+
+        env = make_reservoir(5)
+        x0 = jnp.asarray(rng.uniform(20, 100, size=(B, 5)).astype("f4"))
+    elif args.env == "hvac12":
+        from tfmpc_tpu.models.hvac import make_hvac
+
+        k = 12  # ring of 12 rooms: boxQP LANE kernel at its n=m=12 ceiling
+        adj = [[1 if abs(i - j) in (1, k - 1) else 0 for j in range(k)]
+               for i in range(k)]
+        env = make_hvac(
+            adj,
+            is_out=[1 if i % 3 == 0 else 0 for i in range(k)],
+            is_hall=[1 if i % 3 == 1 else 0 for i in range(k)],
+        )
+        x0 = jnp.asarray(rng.uniform(8, 18, size=(B, 12)).astype("f4"))
     else:
         from tfmpc_tpu.models.hvac import make_hvac
 
