@@ -266,3 +266,25 @@ class TestVmemGuard:
         cfg = ilqr.ILQRConfig(use_pallas=True)
         lin49, _, _, _ = _synthetic(rng, 128, 1, 49, 49, dtype=jnp.float32)
         assert _riccati_kernel_mode(lin49, cfg) is None
+
+    def test_rollout_kernels_share_the_dim_ceiling(self):
+        """Past MID_DIM_MAX the ROLLOUT kernels must also fall back (their
+        per-step K @ dx emission was never Mosaic-compiled there and the
+        backward has already fallen back to the scan): the full solve runs
+        on the pure XLA path instead of risking a kernel compile failure."""
+        from tfmpc_tpu.solvers.ilqr_batched import _use_pallas_rollout
+
+        cfg = ilqr.ILQRConfig(use_pallas=True)
+        env48, env49 = make_chain_env(48), make_chain_env(49)
+        X = jnp.zeros((128, 3, 49), jnp.float32)
+        assert _use_pallas_rollout(env48, X, cfg)
+        assert not _use_pallas_rollout(env49, X, cfg)
+        # and the whole solve still works there (XLA path end to end)
+        x0 = jnp.asarray(
+            np.random.default_rng(7).uniform(-1, 1, size=(8, 49)).astype("f4")
+        )
+        res = ilqr.solve_batch(
+            env49, x0, horizon=2,
+            config=ilqr.ILQRConfig(max_iterations=3, use_pallas=True),
+        )
+        assert bool(jnp.all(jnp.isfinite(res.total_cost)))

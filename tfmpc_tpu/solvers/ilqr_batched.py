@@ -554,11 +554,24 @@ def _linesearch_batched(env: Env, X, U, policy, alphas):
     )(X, U, policy)
 
 
+def _rollout_dims_supported(env: Env) -> bool:
+    """Rollout/line-search kernels share the Riccati mid kernel's
+    chip-verified dim ceiling. Beyond MID_DIM_MAX the per-step policy
+    update ``K @ (x - xbar)`` unrolls to O(n*m) row-FMAs that have never
+    been Mosaic-compiled, and the Riccati backward has already fallen back
+    to the vmapped scan — fall back consistently instead of risking a
+    kernel compile failure at dims no kernel path supports."""
+    from tfmpc_tpu.ops.riccati_mid_pallas import MID_DIM_MAX
+
+    return max(env.state_size, env.action_size) <= MID_DIM_MAX
+
+
 def _use_pallas_rollout(env: Env, X, config: ILQRConfig) -> bool:
     return (
         getattr(config, "use_pallas", False)
         and env.lane_functions() is not None
         and X.shape[0] % 128 == 0
+        and _rollout_dims_supported(env)
     )
 
 
@@ -750,7 +763,9 @@ def _pad_lanes(env, config: ILQRConfig, B: int) -> int:
             env.state_size, env.action_size, boxqp=bool(config.boxqp)
         ))
     )
-    rollout_ok = env.lane_functions() is not None
+    rollout_ok = (
+        env.lane_functions() is not None and _rollout_dims_supported(env)
+    )
     if not (riccati_ok or rollout_ok):
         return 0
     return (-B) % 128
