@@ -329,6 +329,29 @@ def main():
         float(jnp.max(jnp.abs(rl.actions - aL))) < 1e-4,
     ))
 
+    # dims past the kernel ceiling (>48): BOTH kernel families must fall
+    # back (Riccati to the vmapped scan, rollouts to the XLA line search)
+    # and the default use_pallas solve must still run ON CHIP.
+    k = 49
+    A49 = (-2.0 * np.eye(k) + np.eye(k, k=1) + np.eye(k, k=-1)) * 0.3
+    envb = make_linear_system(
+        A=(np.eye(k) + 0.1 * A49).tolist(),
+        B=(0.1 * np.eye(k)).tolist(),
+        R=(0.1 * np.eye(k)).tolist(),
+    )
+    x49 = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, size=(128, k)).astype("f4")
+    )
+    r49 = ilqr.solve_batch(
+        envb, x49, horizon=4,
+        config=ilqr.ILQRConfig(atol=1e-6, max_iterations=6, use_pallas=True),
+    )
+    checks.append((
+        "dims>48 full-XLA fallback solves on chip (finite, all converged)",
+        bool(jnp.all(jnp.isfinite(r49.total_cost)))
+        and float(jnp.mean(r49.converged.astype("f4"))) >= 0.99,
+    ))
+
     failed = 0
     for name, passed in checks:
         print(("PASS " if passed else "FAIL ") + name, flush=True)
