@@ -32,7 +32,7 @@ run() {
     echo "=== [$name] exit=$rc $(date -u +%H:%M:%S)" | tee -a "$LOG"
 }
 
-# 1. Release gate: all 16 headline claims, incl. mid-dim parity/speedup and
+# 1. Release gate: all 17 headline claims, incl. mid-dim parity/speedup and
 #    the T=500 fp64-oracle claims (the longest step: mid-dim scan compiles).
 run release_check 5400 python benchmarks/release_check.py
 
@@ -60,7 +60,7 @@ run suite 5400 python benchmarks/suite.py
 
 # 7. Dims > MID_DIM_MAX fallback: the vmapped scan IS the product path
 #    there — record what it costs (reduced batch: ~5 B*T*d^2 fp32 inputs).
-run largedim_scan 2400 python benchmarks/middim_bench.py \
+run largedim_scan 3600 python benchmarks/middim_bench.py \
     --scan-only --dims 64,96 --batch 256
 
 echo "sweep complete: $LOG"

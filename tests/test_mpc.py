@@ -70,10 +70,9 @@ def test_closed_loop_cost_tracks_plan(nav_env):
 
 
 def test_sharded_closed_loop_matches_unsharded(nav_env):
-    """MPC inherits data-parallel sharding end to end: a `shard_batch`-placed
-    x0 runs the whole closed loop sharded (outputs stay on all devices) and
-    matches the unsharded run exactly — the deployment driver composes with
-    the mesh machinery without any MPC-specific sharding code."""
+    """Data-parallel closed-loop MPC (mesh.mpc_sharded: shard_map per device
+    shard — the kernel-compatible path the CLI fleet uses) matches the
+    unsharded run exactly, and outputs stay sharded on all devices."""
     from tfmpc_tpu.parallel import mesh as pmesh
 
     if len(jax.devices()) < 8:
@@ -84,9 +83,8 @@ def test_sharded_closed_loop_matches_unsharded(nav_env):
     cfg = ilqr.ILQRConfig(atol=1e-4, max_iterations=10)
     res_u = mpc.run(nav_env, x0, steps=5, plan_horizon=12, config=cfg)
     mesh = pmesh.make_mesh(8)
-    res_s = mpc.run(
-        nav_env, pmesh.shard_batch(x0, mesh),
-        steps=5, plan_horizon=12, config=cfg,
+    res_s = pmesh.mpc_sharded(
+        nav_env, x0, steps=5, plan_horizon=12, config=cfg, mesh=mesh
     )
     np.testing.assert_allclose(
         np.asarray(res_s.actions), np.asarray(res_u.actions),

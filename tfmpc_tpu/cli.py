@@ -68,6 +68,19 @@ def _log_trace(trace, upto: int) -> None:
         )
 
 
+def _log_batched_trace(trace, result) -> None:
+    """Replay a sharded/batched [I, B] trace as per-iteration mean lines."""
+    J = np.asarray(trace.J)
+    conv = np.asarray(trace.converged)
+    mu_tr = np.asarray(trace.mu)
+    upto = int(np.max(np.asarray(result.iterations)))
+    for i in range(min(upto, J.shape[0])):
+        logger.info(
+            "iteration=%d mean_cost=%.6f frac_converged=%.3f mean_mu=%.3e",
+            i, J[i].mean(), conv[i].mean(), mu_tr[i].mean(),
+        )
+
+
 def build_ilqr_config(**kwargs):
     """Construct the solver config the CLI commands run with.
 
@@ -129,17 +142,16 @@ def lqr(state_size, action_size, horizon, seed, x0_scale, parallel,
         "solving LQR n=%d m=%d T=%d on %s", state_size, action_size, horizon,
         jax.devices()[0].platform,
     )
+    n_avail = len(jax.devices())
+    if time_workers < 1 or time_workers > n_avail:
+        raise click.UsageError(
+            f"--time-workers {time_workers} must be in [1, {n_avail}] "
+            f"(visible devices)"
+        )
     if time_workers > 1:
         # Horizon-sharded Riccati: pin the problem's [T] tensors to a
         # "time" mesh (requires the associative-scan backward).
         from tfmpc_tpu.parallel import mesh as pmesh
-
-        n_avail = len(jax.devices())
-        if time_workers > n_avail:
-            raise click.UsageError(
-                f"--time-workers {time_workers} exceeds the {n_avail} "
-                f"visible devices"
-            )
         parallel = True
         problem = pmesh.shard_problem_time(
             problem, pmesh.make_mesh_2d(1, time_workers)
@@ -198,9 +210,11 @@ def lqr(state_size, action_size, horizon, seed, x0_scale, parallel,
               help="O(log T) associative-scan backward pass (long horizons).")
 @click.option("--time-workers", default=1, show_default=True, type=int,
               help="Shard the HORIZON over this many devices (sequence "
-                   "parallelism; implies --parallel-backward). Composes "
-                   "with the scenario batch: the remaining devices form "
-                   "the data axis of a 2-D (data, time) mesh.")
+                   "parallelism; implies --parallel-backward and disables "
+                   "the fused kernels — raw Pallas calls cannot take "
+                   "mesh-sharded operands). Composes with the scenario "
+                   "batch: the remaining devices form the data axis of a "
+                   "2-D (data, time) mesh.")
 def ilqr(env_path, horizon, atol, max_iterations, x0_json, num_samples,
          num_workers, seed, logdir, boxqp_flag, pallas_flag,
          parallel_backward, time_workers):
@@ -337,30 +351,13 @@ def ilqr(env_path, horizon, atol, max_iterations, x0_json, num_samples,
         )
         result, trace = out if trace_iters else (out, None)
         if trace_iters:
-            J = np.asarray(trace.J)
-            conv = np.asarray(trace.converged)
-            mu_tr = np.asarray(trace.mu)
-            upto = int(np.max(np.asarray(result.iterations)))
-            for i in range(min(upto, J.shape[0])):
-                logger.info(
-                    "iteration=%d mean_cost=%.6f frac_converged=%.3f "
-                    "mean_mu=%.3e",
-                    i, J[i].mean(), conv[i].mean(), mu_tr[i].mean(),
-                )
+            _log_batched_trace(trace, result)
     elif trace_iters:
         result, trace = pmesh.solve_ilqr_sharded(
             env, jnp.asarray(x0_batch), horizon=horizon, config=config,
             mesh=mesh, return_trace=True,
         )
-        J = np.asarray(trace.J)
-        conv = np.asarray(trace.converged)
-        mu_tr = np.asarray(trace.mu)
-        upto = int(np.max(np.asarray(result.iterations)))
-        for i in range(min(upto, J.shape[0])):
-            logger.info(
-                "iteration=%d mean_cost=%.6f frac_converged=%.3f mean_mu=%.3e",
-                i, J[i].mean(), conv[i].mean(), mu_tr[i].mean(),
-            )
+        _log_batched_trace(trace, result)
     else:
         result = pmesh.solve_ilqr_sharded(
             env, jnp.asarray(x0_batch), horizon=horizon, config=config,
@@ -444,9 +441,8 @@ def mpc(env_path, steps, plan_horizon, atol, max_iterations, x0_json,
         use_pallas=pallas_flag,
     )
     if num_samples > 1:
-        # Scenario fleet: perturbed x0 batch, data-sharded closed loop
-        # (mpc.run inherits the batch sharding end to end —
-        # tests/test_mpc.py::test_sharded_closed_loop_matches_unsharded).
+        # Scenario fleet: perturbed x0 batch, data-sharded closed loop via
+        # shard_map (mesh.mpc_sharded — the kernel-compatible sharded path).
         from tfmpc_tpu.parallel import mesh as pmesh
 
         rng = np.random.default_rng(seed)
@@ -456,13 +452,16 @@ def mpc(env_path, steps, plan_horizon, atol, max_iterations, x0_json,
         mesh = pmesh.make_mesh()
         n_dev = mesh.devices.size
         if num_samples % n_dev == 0:
-            x0_in = pmesh.shard_batch(jnp.asarray(x0_batch), mesh)
-        else:  # indivisible fleets run replicated rather than erroring
+            res = pmesh.mpc_sharded(
+                env, jnp.asarray(x0_batch), steps=steps,
+                plan_horizon=plan_horizon, config=config, mesh=mesh,
+            )
+        else:  # indivisible fleets run on one device rather than erroring
             n_dev = 1
-            x0_in = jnp.asarray(x0_batch)
-        res = mpc_solver.run(
-            env, x0_in, steps=steps, plan_horizon=plan_horizon, config=config,
-        )
+            res = mpc_solver.run(
+                env, jnp.asarray(x0_batch), steps=steps,
+                plan_horizon=plan_horizon, config=config,
+            )
         conv = np.asarray(res.converged)
         click.echo(
             f"closed-loop fleet of {num_samples} on {n_dev} device(s): "

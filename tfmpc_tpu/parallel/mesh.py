@@ -135,6 +135,50 @@ def solve_ilqr_sharded(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("steps", "plan_horizon", "config", "mesh")
+)
+def _mpc_sharded(env, x0, steps, plan_horizon, config, mesh):
+    from tfmpc_tpu.solvers import mpc as _mpc
+
+    # Same shard_map rationale as _solve_batch_sharded: closed-loop
+    # rollouts are independent per scenario, and the Pallas kernels inside
+    # each re-plan need per-device local shards (a pallas_call does not
+    # auto-partition under GSPMD).
+    fn = lambda env_, x0_: _mpc.run(
+        env_, x0_, steps=steps, plan_horizon=plan_horizon, config=config
+    )
+    mapped = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )
+    return mapped(env, x0)
+
+
+def mpc_sharded(
+    env: Env,
+    x0: jax.Array,
+    *,
+    steps: int,
+    plan_horizon: int,
+    config: _ilqr.ILQRConfig = _ilqr.ILQRConfig(),
+    mesh: Optional[Mesh] = None,
+):
+    """Data-parallel closed-loop MPC: shard the ``x0 [B, n]`` scenario
+    fleet over the mesh and run ``solvers.mpc.run`` per device shard via
+    ``shard_map`` — the kernel-compatible sharded path (the CLI's
+    ``mpc --num-samples`` uses this). Results stay sharded like
+    ``solve_ilqr_sharded``'s."""
+    if mesh is None:
+        mesh = make_mesh()
+    env = replicate(env, mesh)
+    x0 = shard_batch(x0, mesh)
+    return _mpc_sharded(env, x0, steps, plan_horizon, config, mesh)
+
+
 @jax.jit
 def summarize(result: _ilqr.ILQRResult):
     """Global summary statistics of a (sharded) batched solve.
@@ -232,8 +276,15 @@ def solve_ilqr_time_sharded(
 
     if mesh is None:
         mesh = Mesh(np.asarray(jax.devices()), (TIME_AXIS,))
+    # use_pallas is forced OFF: the fused kernels are raw pallas_calls,
+    # which do not auto-partition under GSPMD (the data-parallel path
+    # routes them through shard_map for exactly that reason — see
+    # _solve_batch_sharded). Under horizon sharding their [B, T] operands
+    # would arrive mesh-sharded. parallel_backward already disables the
+    # Riccati kernels; this also keeps the rollout kernels off.
     cfg = dataclasses.replace(
-        config, parallel_backward=True, time_axis=TIME_AXIS
+        config, parallel_backward=True, time_axis=TIME_AXIS,
+        use_pallas=False,
     )
     with jax.set_mesh(mesh):
         if x0.ndim == 1:

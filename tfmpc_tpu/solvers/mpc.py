@@ -15,9 +15,10 @@ compiled on-device program:
 - Per-step solver effort is bounded by ``config.max_iterations`` (warm
   starts keep it small after the first step — set it low for a real-time
   budget).
-- Data-parallel: pass an ``x0`` placed with ``parallel.mesh.shard_batch``
-  and the whole closed loop runs sharded over the mesh — outputs stay
-  sharded, results match the unsharded run exactly
+- Data-parallel: ``parallel.mesh.mpc_sharded`` runs the closed-loop fleet
+  per device shard via ``shard_map`` (the kernel-compatible sharded path —
+  a raw pallas_call cannot take GSPMD-sharded operands); outputs stay
+  sharded and match the unsharded run exactly
   (tests/test_mpc.py::test_sharded_closed_loop_matches_unsharded).
 """
 
