@@ -227,6 +227,30 @@ elif mode == "timeshard":
         "mean_cost": float(jax.device_get(jnp.mean(res.total_cost))),
     }), flush=True)
 
+elif mode == "mpc":
+    # Closed-loop MPC fleet across hosts: mesh.mpc_sharded (shard_map) with
+    # per-process local x0 rows — the deployment driver on the multi-host
+    # bring-up path. Scalar stats must come out of a jitted reduction (the
+    # sharded result spans non-addressable devices).
+    env = make_navigation(
+        goal=[8.0, -5.0],
+        deceleration={"center": [[3.0, -2.0]], "decay": [2.0]},
+    )
+    x0_global = rng.uniform(-5.0, 5.0, size=(16, 2)).astype("float32")
+    res = pmesh.mpc_sharded(
+        env, jnp.asarray(_local_rows(x0_global)), steps=4, plan_horizon=8,
+        config=ilqr.ILQRConfig(atol=1e-4, max_iterations=10), mesh=mesh,
+    )
+    mean_cost, conv = jax.jit(lambda r: (
+        jnp.mean(r.total_cost), jnp.mean(r.converged.astype("f4"))
+    ))(res)
+    print(json.dumps({
+        "process": proc_id,
+        "devices": n_global,
+        "mean_total_cost": float(jax.device_get(mean_cost)),
+        "frac_replans_converged": float(jax.device_get(conv)),
+    }), flush=True)
+
 else:
     raise SystemExit(f"unknown mode {mode!r}")
 

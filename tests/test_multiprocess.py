@@ -102,6 +102,38 @@ def test_two_process_kernel_path():
     )
 
 
+def test_two_process_mpc_fleet():
+    """Closed-loop MPC fleet sharded across a real 2-process mesh
+    (mesh.mpc_sharded) matches the single-process closed loop of the same
+    global batch — the deployment driver works on the multi-host path."""
+    outs = _spawn_two("mpc")
+
+    for o in outs:
+        assert o["devices"] == 8
+        assert o["frac_replans_converged"] == 1.0
+    assert abs(
+        outs[0]["mean_total_cost"] - outs[1]["mean_total_cost"]
+    ) < 1e-5
+
+    import jax.numpy as jnp
+
+    from tfmpc_tpu.models.navigation import make_navigation
+    from tfmpc_tpu.solvers import ilqr, mpc
+
+    env_ = make_navigation(
+        goal=[8.0, -5.0], deceleration={"center": [[3.0, -2.0]], "decay": [2.0]}
+    )
+    x0 = np.random.default_rng(0).uniform(-5, 5, size=(16, 2)).astype("float32")
+    res = mpc.run(
+        env_, jnp.asarray(x0), steps=4, plan_horizon=8,
+        config=ilqr.ILQRConfig(atol=1e-4, max_iterations=10),
+    )
+    np.testing.assert_allclose(
+        outs[0]["mean_total_cost"], float(jnp.mean(res.total_cost)),
+        rtol=1e-5,
+    )
+
+
 def test_two_process_time_sharded():
     """Sequence parallelism across a REAL process boundary: the horizon
     axis sharded over all 8 global devices, so the associative-scan
