@@ -1,0 +1,116 @@
+"""Automatic XLA fallback when the Pallas kernel path fails to compile.
+
+With the generic lane adapter (models/base.py) EVERY env qualifies for the
+fused rollout kernels under the default ``use_pallas=True``, including user
+envs whose dynamics Mosaic cannot lower (gather/cond-style control flow).
+Round-2 ADVICE flagged the resulting hard failure as a robustness regression;
+``solve_batch`` now catches Pallas/Mosaic trace/lowering/compile errors at
+its eager entry point, warns, and retries once with ``use_pallas=False``.
+
+Mosaic only exists on the TPU backend, so on the CPU test mesh the failure
+is injected by monkeypatching a kernel entry point to raise an error shaped
+like a real Mosaic lowering failure. That exercises the entire fallback
+machinery (predicate, warning, retry, result correctness); the predicate's
+marker list is what the on-chip errors were observed to contain.
+"""
+
+import warnings
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfmpc_tpu.models.navigation import make_navigation
+from tfmpc_tpu.ops import rollout_pallas
+from tfmpc_tpu.solvers import ilqr, ilqr_batched
+
+
+ENV = make_navigation(
+    goal=[8.0, -5.0],
+    deceleration={"center": [[3.0, -2.0]], "decay": [2.0]},
+)
+
+# Unique atol so these tests never hit a jit cache entry traced by another
+# test (a cache hit would skip tracing and the injected failure with it).
+_ATOL = 3.1e-5
+
+
+def _x0(B):
+    rng = np.random.default_rng(7)
+    return jnp.asarray(rng.uniform(-6.0, 6.0, size=(B, 2)).astype("f4"))
+
+
+class _FakeMosaicError(RuntimeError):
+    pass
+
+
+def _raise_mosaic(*args, **kwargs):
+    raise _FakeMosaicError(
+        "Mosaic failed to compile TPU kernel: unsupported operation"
+    )
+
+
+class TestFallback:
+    def test_falls_back_to_xla_and_warns(self, monkeypatch):
+        monkeypatch.setattr(
+            rollout_pallas, "linesearch_costs_pallas", _raise_mosaic
+        )
+        cfg = ilqr.ILQRConfig(atol=_ATOL, max_iterations=12, use_pallas=True)
+        with pytest.warns(RuntimeWarning, match="use_pallas=False"):
+            res = ilqr.solve_batch(ENV, _x0(4), horizon=9, config=cfg)
+
+        cfg_xla = ilqr.ILQRConfig(
+            atol=_ATOL, max_iterations=12, use_pallas=False
+        )
+        ref = ilqr.solve_batch(ENV, _x0(4), horizon=9, config=cfg_xla)
+        np.testing.assert_allclose(res.total_cost, ref.total_cost, rtol=1e-6)
+        np.testing.assert_array_equal(res.converged, ref.converged)
+
+    def test_warning_names_env_and_cause(self, monkeypatch):
+        monkeypatch.setattr(
+            rollout_pallas, "linesearch_costs_pallas", _raise_mosaic
+        )
+        cfg = ilqr.ILQRConfig(atol=_ATOL, max_iterations=3, use_pallas=True)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            ilqr.solve_batch(ENV, _x0(2), horizon=7, config=cfg)
+        msgs = [str(w.message) for w in caught
+                if issubclass(w.category, RuntimeWarning)]
+        assert any("Navigation" in m and "_FakeMosaicError" in m
+                   for m in msgs), msgs
+
+    def test_non_kernel_errors_propagate(self, monkeypatch):
+        def boom(*args, **kwargs):
+            raise ValueError("a genuine solver bug, not a kernel issue")
+
+        monkeypatch.setattr(rollout_pallas, "linesearch_costs_pallas", boom)
+        cfg = ilqr.ILQRConfig(atol=_ATOL, max_iterations=4, use_pallas=True)
+        with pytest.raises(ValueError, match="genuine solver bug"):
+            ilqr.solve_batch(ENV, _x0(2), horizon=6, config=cfg)
+
+    def test_no_pallas_no_fallback_interference(self):
+        # use_pallas=False takes the XLA path directly (no retry machinery).
+        cfg = ilqr.ILQRConfig(atol=_ATOL, max_iterations=5, use_pallas=False)
+        res = ilqr.solve_batch(ENV, _x0(2), horizon=6, config=cfg)
+        assert res.total_cost.shape == (2,)
+
+
+class TestPredicate:
+    def test_matches_cause_chain(self):
+        try:
+            try:
+                raise RuntimeError("Internal: Mosaic lowering rule missing")
+            except RuntimeError as inner:
+                raise RuntimeError("outer wrapper") from inner
+        except RuntimeError as exc:
+            assert ilqr_batched._is_kernel_compile_error(exc)
+
+    def test_rejects_unrelated(self):
+        assert not ilqr_batched._is_kernel_compile_error(
+            ValueError("shape mismatch [4, 2] vs [4, 3]")
+        )
+
+    def test_matches_pallas_marker(self):
+        assert ilqr_batched._is_kernel_compile_error(
+            NotImplementedError("pallas lowering not implemented for op")
+        )

@@ -204,8 +204,9 @@ def lqr(state_size, action_size, horizon, seed, x0_scale, parallel,
                    "Ineligible SHAPES fall back to the XLA path "
                    "automatically; a user-defined env whose dynamics use "
                    "ops the TPU kernel compiler cannot lower (gather, "
-                   "cond, ...) fails at compile time instead — pass "
-                   "--no-pallas for such envs.")
+                   "cond, ...) triggers a warned one-time retry on the "
+                   "XLA path — pass --no-pallas to skip the doomed "
+                   "compile attempt.")
 @click.option("--parallel-backward", is_flag=True, default=False,
               help="O(log T) associative-scan backward pass (long horizons).")
 @click.option("--time-workers", default=1, show_default=True, type=int,

@@ -20,7 +20,9 @@ backtracking line search, clip or boxQP constraint handling.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
+import warnings
 from typing import NamedTuple, Optional
 
 import jax
@@ -697,6 +699,41 @@ def _iteration_batched(env: Env, state: _BatchState, config: ILQRConfig, alphas)
 @functools.partial(
     jax.jit, static_argnames=("config", "horizon", "return_trace")
 )
+def _solve_batch_jit(
+    env: Env,
+    x0: jax.Array,
+    U0: Optional[jax.Array] = None,
+    *,
+    horizon: Optional[int] = None,
+    config: ILQRConfig = ILQRConfig(),
+    init_state: Optional[SolverState] = None,
+    return_trace: bool = False,
+):
+    with jax.default_matmul_precision("highest"):
+        return _solve_batch_impl(env, x0, U0, horizon, config, init_state,
+                                 return_trace)
+
+
+# Messages that identify a failure as coming from the Pallas/Mosaic kernel
+# path rather than from the solve itself. Deliberately narrow: a fallback
+# that swallowed arbitrary errors would mask real solver bugs behind a
+# silent (and much slower) retry.
+_KERNEL_ERROR_MARKERS = ("mosaic", "pallas", "lowering rule")
+
+
+def _is_kernel_compile_error(exc: BaseException) -> bool:
+    """True if ``exc`` (or anything in its cause chain) looks like a Pallas
+    kernel trace/lowering/compile failure."""
+    seen = set()
+    while exc is not None and id(exc) not in seen:
+        seen.add(id(exc))
+        text = f"{type(exc).__module__}.{type(exc).__name__}: {exc}".lower()
+        if any(marker in text for marker in _KERNEL_ERROR_MARKERS):
+            return True
+        exc = exc.__cause__ or exc.__context__
+    return False
+
+
 def solve_batch(
     env: Env,
     x0: jax.Array,
@@ -718,10 +755,40 @@ def solve_batch(
     outer loop becomes a ``lax.scan`` over exactly I iterations (converged
     scenarios freeze via the active mask — identical final state to the
     while_loop path, which stops early instead of recording history).
+
+    Kernel-compile fallback: with ``use_pallas=True`` the generic lane
+    adapter (models/base.py) routes ANY env onto the fused rollout kernels,
+    including user envs whose dynamics Mosaic cannot lower (gather/cond-style
+    control flow). Rather than hard-failing the default CLI path (round-2
+    ADVICE), a Pallas/Mosaic trace/lowering/compile error is caught HERE (the
+    eager entry point only — inside an outer jit/shard_map the error surfaces
+    at that outer compile instead) and the solve retries once with
+    ``use_pallas=False``, with a warning naming the permanent opt-outs
+    (``lane_functions() -> None`` or ``use_pallas=False``).
     """
-    with jax.default_matmul_precision("highest"):
-        return _solve_batch_impl(env, x0, U0, horizon, config, init_state,
-                                 return_trace)
+    try:
+        return _solve_batch_jit(
+            env, x0, U0, horizon=horizon, config=config,
+            init_state=init_state, return_trace=return_trace,
+        )
+    except Exception as exc:  # noqa: BLE001 — filtered by the predicate
+        if not getattr(config, "use_pallas", False) \
+                or not _is_kernel_compile_error(exc):
+            raise
+        warnings.warn(
+            "fused Pallas kernel path failed to trace/compile for env "
+            f"{type(env).__name__} ({type(exc).__name__}); retrying with "
+            "use_pallas=False (XLA path). To skip the doomed attempt, pass "
+            "use_pallas=False, or make the env's lane_functions() return "
+            f"None. Original error: {exc}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return _solve_batch_jit(
+            env, x0, U0, horizon=horizon,
+            config=dataclasses.replace(config, use_pallas=False),
+            init_state=init_state, return_trace=return_trace,
+        )
 
 
 def resume(
