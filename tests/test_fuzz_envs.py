@@ -1,0 +1,171 @@
+"""Randomized user-env property tests.
+
+The three shipped env families (navigation/HVAC/reservoir) are pinned
+elsewhere; this file fuzzes the OPEN extension point — arbitrary
+user-defined ``Env`` subclasses going through autodiff linearization and
+the generic lane adapter — with randomly parameterized smooth dynamics at
+several (n, m) shapes, constrained and not. Properties checked per env:
+
+1. ``solve_batch(use_pallas=True)`` (generic-adapter kernels, interpret on
+   CPU) matches ``use_pallas=False`` (pure XLA) — the adapter must be
+   transparent for ANY env, not just the curated families.
+2. ``solve_batch`` matches per-scenario ``ilqr.solve`` — batched masking
+   semantics are env-independent.
+3. Accepted iterations never increase the cost (line-search soundness),
+   read off the per-iteration trace.
+4. Constrained solves respect the box bounds exactly.
+"""
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfmpc_tpu import Bounds, Env, ILQRConfig, ilqr
+from tfmpc_tpu.core.types import pytree_dataclass
+
+
+@pytree_dataclass
+class RandomSmoothEnv(Env):
+    """x' = x + dt*(A x + B u + s*tanh(x)); random PSD quadratic + tanh cost."""
+
+    A: jnp.ndarray                      # [n, n]
+    B: jnp.ndarray                      # [n, m]
+    s: jnp.ndarray                      # [n]
+    Q: jnp.ndarray                      # [n, n] PSD
+    R: jnp.ndarray                      # [m, m] PD
+    q: jnp.ndarray                      # [n]
+    bounds: Optional[Bounds] = None
+
+    @property
+    def state_size(self):
+        return self.A.shape[0]
+
+    @property
+    def action_size(self):
+        return self.B.shape[1]
+
+    def transition(self, x, u):
+        return x + 0.1 * (self.A @ x + self.B @ u + self.s * jnp.tanh(x))
+
+    def cost(self, x, u):
+        return x @ self.Q @ x + u @ self.R @ u + self.q @ jnp.tanh(x)
+
+    def final_cost(self, x):
+        return 2.0 * (x @ self.Q @ x)
+
+
+def _make_env(seed: int, n: int, m: int, bounded: bool) -> RandomSmoothEnv:
+    rng = np.random.default_rng(seed)
+    A = (0.2 * rng.standard_normal((n, n)) - 0.3 * np.eye(n)).astype("f4")
+    B = (0.8 * rng.standard_normal((n, m))).astype("f4")
+    MQ = rng.standard_normal((n, n)).astype("f4")
+    MR = rng.standard_normal((m, m)).astype("f4")
+    bounds = None
+    if bounded:
+        bounds = Bounds(
+            low=jnp.full((m,), -0.7, jnp.float32),
+            high=jnp.full((m,), 0.7, jnp.float32),
+        )
+    return RandomSmoothEnv(
+        A=jnp.asarray(A),
+        B=jnp.asarray(B),
+        s=jnp.asarray(0.3 * rng.standard_normal(n).astype("f4")),
+        Q=jnp.asarray(MQ @ MQ.T / n + 0.1 * np.eye(n, dtype="f4")),
+        R=jnp.asarray(MR @ MR.T / m + 0.2 * np.eye(m, dtype="f4")),
+        q=jnp.asarray(0.5 * rng.standard_normal(n).astype("f4")),
+        bounds=bounds,
+    )
+
+
+# (seed, n, m, bounded): square/wide/tall shapes, both constraint modes.
+CASES = [
+    (11, 3, 2, False),
+    (22, 5, 5, True),
+    (33, 2, 4, False),
+    (44, 6, 3, True),
+]
+
+B_SCEN = 4
+T = 8
+
+
+def _x0(seed, n):
+    rng = np.random.default_rng(1000 + seed)
+    return jnp.asarray(rng.uniform(-1.5, 1.5, size=(B_SCEN, n)).astype("f4"))
+
+
+def _cfg(bounded, use_pallas):
+    return ILQRConfig(
+        atol=1e-5, max_iterations=10, boxqp=bounded, use_pallas=use_pallas
+    )
+
+
+@pytest.mark.parametrize("seed,n,m,bounded", CASES)
+class TestRandomEnvs:
+    def test_generic_adapter_matches_xla(self, seed, n, m, bounded):
+        env = _make_env(seed, n, m, bounded)
+        assert env.lane_functions() is not None  # the generic adapter
+        x0 = _x0(seed, n)
+        res_k = ilqr.solve_batch(
+            env, x0, horizon=T, config=_cfg(bounded, True)
+        )
+        res_x = ilqr.solve_batch(
+            env, x0, horizon=T, config=_cfg(bounded, False)
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_k.total_cost), np.asarray(res_x.total_cost),
+            rtol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_k.actions), np.asarray(res_x.actions),
+            atol=5e-4,
+        )
+
+    def test_batched_matches_single(self, seed, n, m, bounded):
+        env = _make_env(seed, n, m, bounded)
+        x0 = _x0(seed, n)
+        res_b = ilqr.solve_batch(
+            env, x0, horizon=T, config=_cfg(bounded, False)
+        )
+        for i in range(B_SCEN):
+            res_1 = ilqr.solve(
+                env, x0[i], horizon=T, config=_cfg(bounded, False)
+            )
+            np.testing.assert_allclose(
+                float(res_b.total_cost[i]), float(res_1.total_cost),
+                rtol=1e-5,
+            )
+            assert bool(res_b.converged[i]) == bool(res_1.converged)
+
+    def test_accepted_iterations_never_increase_cost(
+        self, seed, n, m, bounded
+    ):
+        env = _make_env(seed, n, m, bounded)
+        x0 = _x0(seed, n)
+        _, trace = ilqr.solve_batch(
+            env, x0, horizon=T, config=_cfg(bounded, False),
+            return_trace=True,
+        )
+        J = np.asarray(trace.J)             # [I, B]
+        acc = np.asarray(trace.accepted)    # [I, B] bool
+        for b in range(J.shape[1]):
+            prev = None
+            for i in range(J.shape[0]):
+                if not acc[i, b]:
+                    continue
+                if prev is not None:
+                    # additive slack: costs may be negative (linear term)
+                    assert J[i, b] <= prev + 1e-6 * max(1.0, abs(prev)), (i, b)
+                prev = J[i, b]
+
+    def test_bounds_respected(self, seed, n, m, bounded):
+        if not bounded:
+            pytest.skip("unconstrained case")
+        env = _make_env(seed, n, m, bounded)
+        res = ilqr.solve_batch(
+            env, _x0(seed, n), horizon=T, config=_cfg(bounded, False)
+        )
+        U = np.asarray(res.actions)
+        assert U.max() <= 0.7 + 1e-6 and U.min() >= -0.7 - 1e-6

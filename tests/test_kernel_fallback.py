@@ -95,6 +95,61 @@ class TestFallback:
         assert res.total_cost.shape == (2,)
 
 
+class TestCLIFallback:
+    def test_cli_run_completes_despite_kernel_failure(
+        self, monkeypatch, tmp_path
+    ):
+        """The default --pallas CLI path survives a kernel compile failure:
+        the run falls back to XLA, warns, and exits 0."""
+        import json
+
+        from click.testing import CliRunner
+
+        from tfmpc_tpu.cli import cli
+
+        monkeypatch.setattr(
+            rollout_pallas, "linesearch_costs_pallas", _raise_mosaic
+        )
+        cfg = {
+            "name": "navigation",
+            "goal": [8.0, -5.0],
+            "deceleration": {"center": [[3.0, -2.0]], "decay": [2.0]},
+            "x0": [0.0, 0.0],
+        }
+        path = tmp_path / "nav.json"
+        path.write_text(json.dumps(cfg))
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            # -v routes through the batched (kernel-capable) solve; the
+            # plain single-sample path is the scan-only oracle.
+            result = CliRunner().invoke(
+                cli, ["-v", "ilqr", "--env", str(path), "-T", "11",
+                      "--pallas", "--max-iterations", "30"],
+            )
+        assert result.exit_code == 0, result.output
+        assert any(issubclass(w.category, RuntimeWarning) for w in caught)
+
+
+class TestShardedFallback:
+    def test_solve_ilqr_sharded_falls_back(self, monkeypatch):
+        """The data-parallel driver degrades to XLA too (the kernel failure
+        surfaces while tracing the shard_map body)."""
+        import jax
+
+        from tfmpc_tpu.parallel import mesh as pmesh
+
+        monkeypatch.setattr(
+            rollout_pallas, "linesearch_costs_pallas", _raise_mosaic
+        )
+        B = len(jax.devices())
+        cfg = ilqr.ILQRConfig(atol=_ATOL, max_iterations=6, use_pallas=True)
+        with pytest.warns(RuntimeWarning, match="use_pallas=False"):
+            res = pmesh.solve_ilqr_sharded(
+                ENV, _x0(B), horizon=8, config=cfg
+            )
+        assert res.total_cost.shape == (B,)
+
+
 class TestPredicate:
     def test_matches_cause_chain(self):
         try:

@@ -34,6 +34,10 @@ def _setup_logging(verbose: int) -> None:
     logging.basicConfig(
         level=level, format="%(asctime)s %(name)s %(levelname)s %(message)s"
     )
+    # basicConfig is a no-op when the embedding application (or a test
+    # runner) already installed handlers — set the package logger's level
+    # explicitly so -v / -vv work regardless of ambient logging config.
+    logger.setLevel(level)
 
 
 @click.group()

@@ -28,6 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tfmpc_tpu.models.base import Env
 from tfmpc_tpu.solvers import ilqr as _ilqr
+from tfmpc_tpu.solvers import ilqr_batched as _ilqr_batched
 
 DATA_AXIS = "data"
 TIME_AXIS = "time"
@@ -130,8 +131,12 @@ def solve_ilqr_sharded(
         mesh = make_mesh()
     env = replicate(env, mesh)
     x0 = shard_batch(x0, mesh)
-    return _solve_batch_sharded(
-        env, x0, horizon, config, mesh, return_trace=return_trace
+    return _ilqr_batched.with_kernel_fallback(
+        lambda cfg: _solve_batch_sharded(
+            env, x0, horizon, cfg, mesh, return_trace=return_trace
+        ),
+        config,
+        f"solve_ilqr_sharded (env {type(env).__name__})",
     )
 
 
@@ -176,7 +181,11 @@ def mpc_sharded(
         mesh = make_mesh()
     env = replicate(env, mesh)
     x0 = shard_batch(x0, mesh)
-    return _mpc_sharded(env, x0, steps, plan_horizon, config, mesh)
+    return _ilqr_batched.with_kernel_fallback(
+        lambda cfg: _mpc_sharded(env, x0, steps, plan_horizon, cfg, mesh),
+        config,
+        f"mpc_sharded (env {type(env).__name__})",
+    )
 
 
 @jax.jit

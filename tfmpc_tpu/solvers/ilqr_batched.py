@@ -734,6 +734,34 @@ def _is_kernel_compile_error(exc: BaseException) -> bool:
     return False
 
 
+def with_kernel_fallback(call, config: ILQRConfig, what: str):
+    """Run ``call(config)``; on a Pallas/Mosaic kernel compile failure with
+    ``use_pallas=True``, warn and retry once with ``use_pallas=False``.
+
+    Shared by every EAGER solve entry point (``solve_batch``, ``mpc.run``,
+    the ``parallel.mesh`` sharded drivers): the generic lane adapter routes
+    any env onto the fused kernels, so a user env whose dynamics Mosaic
+    cannot lower must degrade to the XLA path instead of hard-failing the
+    default CLI configuration (round-2 ADVICE).
+    """
+    try:
+        return call(config)
+    except Exception as exc:  # noqa: BLE001 — filtered by the predicate
+        if not getattr(config, "use_pallas", False) \
+                or not _is_kernel_compile_error(exc):
+            raise
+        warnings.warn(
+            f"fused Pallas kernel path failed to trace/compile in {what} "
+            f"({type(exc).__name__}); retrying with use_pallas=False (XLA "
+            "path). To skip the doomed attempt, pass use_pallas=False, or "
+            "make the env's lane_functions() return None. Original error: "
+            f"{exc}",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return call(dataclasses.replace(config, use_pallas=False))
+
+
 def solve_batch(
     env: Env,
     x0: jax.Array,
@@ -764,31 +792,17 @@ def solve_batch(
     eager entry point only — inside an outer jit/shard_map the error surfaces
     at that outer compile instead) and the solve retries once with
     ``use_pallas=False``, with a warning naming the permanent opt-outs
-    (``lane_functions() -> None`` or ``use_pallas=False``).
+    (``lane_functions() -> None`` or ``use_pallas=False``). See
+    ``with_kernel_fallback``.
     """
-    try:
-        return _solve_batch_jit(
-            env, x0, U0, horizon=horizon, config=config,
+    return with_kernel_fallback(
+        lambda cfg: _solve_batch_jit(
+            env, x0, U0, horizon=horizon, config=cfg,
             init_state=init_state, return_trace=return_trace,
-        )
-    except Exception as exc:  # noqa: BLE001 — filtered by the predicate
-        if not getattr(config, "use_pallas", False) \
-                or not _is_kernel_compile_error(exc):
-            raise
-        warnings.warn(
-            "fused Pallas kernel path failed to trace/compile for env "
-            f"{type(env).__name__} ({type(exc).__name__}); retrying with "
-            "use_pallas=False (XLA path). To skip the doomed attempt, pass "
-            "use_pallas=False, or make the env's lane_functions() return "
-            f"None. Original error: {exc}",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-        return _solve_batch_jit(
-            env, x0, U0, horizon=horizon,
-            config=dataclasses.replace(config, use_pallas=False),
-            init_state=init_state, return_trace=return_trace,
-        )
+        ),
+        config,
+        f"solve_batch (env {type(env).__name__})",
+    )
 
 
 def resume(

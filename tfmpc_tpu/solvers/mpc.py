@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from tfmpc_tpu.models.base import Env
 from tfmpc_tpu.solvers.ilqr import ILQRConfig
-from tfmpc_tpu.solvers.ilqr_batched import _solve_batch_impl
+from tfmpc_tpu.solvers.ilqr_batched import _solve_batch_impl, with_kernel_fallback
 
 
 class MPCResult(NamedTuple):
@@ -61,7 +61,7 @@ class MPCResult(NamedTuple):
 @functools.partial(
     jax.jit, static_argnames=("steps", "plan_horizon", "config")
 )
-def run(
+def _run_jit(
     env: Env,
     x0: jax.Array,
     *,
@@ -69,14 +69,6 @@ def run(
     plan_horizon: int,
     config: ILQRConfig = ILQRConfig(),
 ) -> MPCResult:
-    """Closed-loop receding-horizon MPC from ``x0 [B, n]`` (or ``[n]``).
-
-    Each of ``steps`` control steps re-solves a ``plan_horizon`` iLQR
-    instance warm-started from the previous plan (shift-by-one, repeat the
-    last action), applies the first planned action, and steps the true
-    dynamics. Fully on device; returns the realized closed-loop trajectory
-    plus per-step solver statistics.
-    """
     single = x0.ndim == 1
     if single:
         x0 = x0[None]
@@ -123,3 +115,32 @@ def run(
     if single:
         result = jax.tree_util.tree_map(lambda a: a[0], result)
     return result
+
+
+def run(
+    env: Env,
+    x0: jax.Array,
+    *,
+    steps: int,
+    plan_horizon: int,
+    config: ILQRConfig = ILQRConfig(),
+) -> MPCResult:
+    """Closed-loop receding-horizon MPC from ``x0 [B, n]`` (or ``[n]``).
+
+    Each of ``steps`` control steps re-solves a ``plan_horizon`` iLQR
+    instance warm-started from the previous plan (shift-by-one, repeat the
+    last action), applies the first planned action, and steps the true
+    dynamics. Fully on device; returns the realized closed-loop trajectory
+    plus per-step solver statistics.
+
+    Like ``ilqr_batched.solve_batch``, the eager entry point degrades to the
+    XLA path (with a warning) if the fused kernels fail to compile for a
+    user env (``with_kernel_fallback``).
+    """
+    return with_kernel_fallback(
+        lambda cfg: _run_jit(
+            env, x0, steps=steps, plan_horizon=plan_horizon, config=cfg
+        ),
+        config,
+        f"mpc.run (env {type(env).__name__})",
+    )
