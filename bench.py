@@ -16,10 +16,15 @@ import json
 import os
 import sys
 import time
+import warnings
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# A solve that silently fell back to the XLA path (kernel compile failure)
+# must not be reported as a kernel number — fail loud instead.
+warnings.filterwarnings("error", message="fused Pallas kernel path failed")
 
 # Persistent XLA compile cache (shared with pytest + benchmarks/): repeat
 # bench runs skip the tunnel recompiles; a cache hit cannot change results.

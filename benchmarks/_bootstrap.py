@@ -26,3 +26,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/tfmpc_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+# The eager solve entry points degrade to the XLA path when a kernel fails
+# to compile (ilqr_batched.with_kernel_fallback) — right for users, wrong
+# for benchmarks: a silently-degraded run would report XLA numbers as
+# kernel numbers. Every bench tool fails loud instead.
+import warnings  # noqa: E402
+
+warnings.filterwarnings("error", message="fused Pallas kernel path failed")
