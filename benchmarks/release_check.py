@@ -18,16 +18,9 @@ from timing import amortized_ms
 
 def main():
     sys.path.insert(0, "tests")  # fp64 NumPy oracles
-    # The eager solve entry points degrade to the XLA path when a kernel
-    # fails to compile (with_kernel_fallback) — correct for users, but the
-    # release gate must FAIL on a kernel regression, not silently pass with
-    # XLA numbers. Promote that specific warning to an error here.
-    import warnings
-
-    warnings.filterwarnings(
-        "error", message="fused Pallas kernel path failed"
-    )
-
+    # NB: _bootstrap (imported above) promotes the kernel-fallback
+    # RuntimeWarning to an error — the release gate fails loud on a kernel
+    # regression instead of silently passing with XLA numbers.
     from oracles import ilqr_navigation_oracle_np
 
     from tfmpc_tpu.models.hvac import make_hvac

@@ -1,8 +1,9 @@
 #!/usr/bin/env bash
 # Detached watcher: poll the axon tunnel relay until it comes back, then run
-# the full on-chip measurement sweep exactly once. Written for the 2026-08-17
-# outage (>10 h); safe to leave running — it exits after one sweep or after
-# the deadline, and refuses to start a second copy.
+# the full on-chip measurement sweep. Written for the 2026-08-17 outage
+# (>10 h); safe to leave running — it exits after one COMPLETED sweep or at
+# the deadline, retries if the relay flaps before the sweep could start, and
+# refuses to start a second copy while another watcher is alive.
 #
 # Usage: nohup bash benchmarks/tunnel_watcher.sh >/tmp/tunnel_watcher.log 2>&1 &
 
@@ -10,36 +11,63 @@ set -u
 cd "$(dirname "$0")/.."
 
 LOCK=/tmp/tfmpc_tunnel_watcher.lock
-if ! mkdir "$LOCK" 2>/dev/null; then
-    echo "watcher already running ($LOCK exists) — exiting"
-    exit 0
+if mkdir "$LOCK" 2>/dev/null; then
+    echo $$ > "$LOCK/pid"
+else
+    # A stale lock (killed watcher, reboot) must not disable the watcher
+    # forever: take over unless the recorded owner is still alive.
+    owner=$(cat "$LOCK/pid" 2>/dev/null || echo "")
+    if [ -n "$owner" ] && kill -0 "$owner" 2>/dev/null; then
+        echo "watcher already running (pid $owner) — exiting"
+        exit 0
+    fi
+    echo "stale lock (owner ${owner:-unknown} dead) — taking over"
+    echo $$ > "$LOCK/pid"
 fi
-trap 'rmdir "$LOCK" 2>/dev/null' EXIT
+trap 'rm -rf "$LOCK" 2>/dev/null' EXIT INT TERM
+
+health() {
+    curl -s -o /dev/null -w "%{http_code}" --max-time 5 http://127.0.0.1:8103/health
+}
 
 DEADLINE=$(( $(date +%s) + 10*3600 ))   # give up after 10 h
-echo "watcher started $(date -u); polling every 60 s until $(date -u -d @$DEADLINE 2>/dev/null || echo +10h)"
+echo "watcher started $(date -u) (pid $$); polling every 60 s for up to 10 h"
 
 while :; do
-    now=$(date +%s)
-    if [ "$now" -ge "$DEADLINE" ]; then
-        echo "deadline reached $(date -u) — tunnel never returned; exiting"
+    if [ "$(date +%s)" -ge "$DEADLINE" ]; then
+        echo "deadline reached $(date -u) — tunnel never stayed up; exiting"
         exit 1
     fi
-    code=$(curl -s -o /dev/null -w "%{http_code}" --max-time 5 http://127.0.0.1:8103/health)
-    if [ "$code" != "000" ]; then
-        echo "tunnel up (health=$code) at $(date -u)"
-        break
+
+    code=$(health)
+    if [ "$code" = "000" ]; then
+        sleep 60
+        continue
     fi
-    sleep 60
-done
+    echo "tunnel up (health=$code) at $(date -u)"
 
-# Never share the compile cache with a concurrently-running pytest process
-# (CLAUDE.md); wait, don't kill.
-while pgrep -f "pytest" >/dev/null 2>&1; do
-    echo "pytest running — waiting 30 s before starting the sweep"
-    sleep 30
-done
+    # Never share the compile cache with a concurrently-running pytest
+    # process (CLAUDE.md); wait, don't kill.
+    while pgrep -f "pytest" >/dev/null 2>&1; do
+        echo "pytest running — waiting 30 s before starting the sweep"
+        sleep 30
+    done
 
-echo "starting onchip sweep $(date -u)"
-bash benchmarks/onchip_sweep.sh /tmp/onchip_sweep_auto.log
-echo "sweep finished $(date -u) (log: /tmp/onchip_sweep_auto.log)"
+    # The relay may have flapped while waiting (30 min-3 h windows observed)
+    # — re-check instead of burning the attempt on an immediate abort.
+    if [ "$(health)" = "000" ]; then
+        echo "tunnel dropped again before the sweep could start — re-polling"
+        continue
+    fi
+
+    echo "starting onchip sweep $(date -u)"
+    bash benchmarks/onchip_sweep.sh /tmp/onchip_sweep_auto.log
+    rc=$?
+    if [ "$rc" -eq 0 ]; then
+        echo "sweep finished $(date -u) (log: /tmp/onchip_sweep_auto.log)"
+        exit 0
+    fi
+    # onchip_sweep exits non-zero only when its own health gate failed;
+    # anything else inside it is per-step timeouts that do not fail the run.
+    echo "sweep aborted (rc=$rc) at $(date -u) — re-polling"
+done
