@@ -102,6 +102,40 @@ def _cfg(bounded, use_pallas):
     )
 
 
+class TestRandomEnvsMidDim:
+    """Random RECTANGULAR mid-dim envs through the forced mid-kernel path
+    (TFMPC_TPU_FORCE_MID_KERNEL routes `_riccati_kernel_mode` to "mid" on
+    CPU interpret): the structured chain env in test_mid_integration.py has
+    n == m; these pin the n != m layout plumbing with random dynamics, and
+    the rollout kernels (generic adapter) run at mid dims alongside."""
+
+    @pytest.fixture
+    def force_mid(self, monkeypatch):
+        monkeypatch.setenv("TFMPC_TPU_FORCE_MID_KERNEL", "1")
+
+    @pytest.mark.parametrize(
+        "seed,n,m,bounded", [(55, 16, 13, False), (66, 14, 16, True)]
+    )
+    def test_mid_kernels_match_xla(self, force_mid, seed, n, m, bounded):
+        env = _make_env(seed, n, m, bounded)
+        x0 = _x0(seed, n)
+        cfg_k = ILQRConfig(
+            atol=1e-5, max_iterations=3, boxqp=bounded, use_pallas=True
+        )
+        cfg_x = ILQRConfig(
+            atol=1e-5, max_iterations=3, boxqp=bounded, use_pallas=False
+        )
+        res_k = ilqr.solve_batch(env, x0, horizon=3, config=cfg_k)
+        res_x = ilqr.solve_batch(env, x0, horizon=3, config=cfg_x)
+        np.testing.assert_allclose(
+            np.asarray(res_k.total_cost), np.asarray(res_x.total_cost),
+            rtol=5e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_k.actions), np.asarray(res_x.actions), atol=5e-3
+        )
+
+
 @pytest.mark.parametrize("seed,n,m,bounded", CASES)
 class TestRandomEnvs:
     def test_generic_adapter_matches_xla(self, seed, n, m, bounded):
