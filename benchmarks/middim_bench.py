@@ -22,8 +22,10 @@ import numpy as np
 from timing import amortized_ms
 
 
-def _timed(make):
-    return amortized_ms(make, reps=10)
+def _timed(make, operands=()):
+    # Big B*T*d^2 blocks must be operands, not closures: embedded-constant
+    # lowering 413s the remote-compile relay (see timing.amortized_ms).
+    return amortized_ms(make, reps=10, operands=operands)
 
 
 def _synthetic(rng, B, T, n, m, dtype=jnp.float32):
@@ -92,41 +94,43 @@ def main():
     for d in (int(x) for x in args.dims.split(",")):
         n = m = d
         lin, quad, final, mu, bounds, Ubar = _synthetic(rng, B, T, n, m)
+        # lin/quad/final/mu/Ubar ride as explicit operands (see _timed).
         variants = []
         if not args.boxqp_only:
             cfg = ilqr.ILQRConfig()
             variants += [
-                ("scan", lambda e: jnp.sum(jax.vmap(
-                    lambda l, q, f, mv: ilqr.backward(l, q, f, mv, cfg)
-                )(dataclasses.replace(lin, f_x=lin.f_x + e), quad, final, mu
+                ("scan", lambda e, li, q, fi, mv, _u: jnp.sum(jax.vmap(
+                    lambda l, q2, f2, m2: ilqr.backward(l, q2, f2, m2, cfg)
+                )(dataclasses.replace(li, f_x=li.f_x + e), q, fi, mv
                 )[1].k)),
             ]
             if not args.scan_only:
                 variants += [
-                    ("mid-kernel", lambda e: jnp.sum(riccati_backward_mid(
-                        dataclasses.replace(lin, f_x=lin.f_x + e), quad,
-                        final, mu
-                    )[1].k)),
+                    ("mid-kernel", lambda e, li, q, fi, mv, _u: jnp.sum(
+                        riccati_backward_mid(
+                            dataclasses.replace(li, f_x=li.f_x + e), q,
+                            fi, mv
+                        )[1].k)),
                 ]
         cfgb = ilqr.ILQRConfig(boxqp=True, boxqp_iters=8)
         variants += [
-            ("scan-boxqp", lambda e: jnp.sum(jax.vmap(
-                lambda l, q, f, mv, u: ilqr.backward(
-                    l, q, f, mv, cfgb, bounds=bounds, Ubar=u)
-            )(dataclasses.replace(lin, f_x=lin.f_x + e), quad, final, mu,
-              Ubar)[1].k)),
+            ("scan-boxqp", lambda e, li, q, fi, mv, u: jnp.sum(jax.vmap(
+                lambda l, q2, f2, m2, u2: ilqr.backward(
+                    l, q2, f2, m2, cfgb, bounds=bounds, Ubar=u2)
+            )(dataclasses.replace(li, f_x=li.f_x + e), q, fi, mv, u
+            )[1].k)),
         ]
         if not args.scan_only:
             variants += [
-                ("mid-kernel-boxqp", lambda e: jnp.sum(
+                ("mid-kernel-boxqp", lambda e, li, q, fi, mv, u: jnp.sum(
                     riccati_backward_mid_boxqp(
-                        dataclasses.replace(lin, f_x=lin.f_x + e), quad,
-                        final, mu, bounds, Ubar, boxqp_iters=8
+                        dataclasses.replace(li, f_x=li.f_x + e), q,
+                        fi, mv, bounds, u, boxqp_iters=8
                     )[1].k)),
             ]
         times = {}
         for name, make in variants:
-            ms, comp = _timed(make)
+            ms, comp = _timed(make, operands=(lin, quad, final, mu, Ubar))
             times[name] = ms
             print(json.dumps({
                 "dims": d, "variant": name, "ms_per_backward": round(ms, 3),

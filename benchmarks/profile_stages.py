@@ -59,9 +59,13 @@ HBM_PEAK = 819e9          # bytes/s, TPU v5e
 VPU_PEAK = 3.9e12         # flops/s fp32, approximate (see module docstring)
 
 
-def _timed_loop(make):
-    """ms per call of ``make(eps)`` (shared scan-amortized estimator)."""
-    return amortized_ms(make, reps=30)[0]
+def _timed_loop(make, operands=()):
+    """ms per call of ``make(eps, *operands)`` (shared scan-amortized
+    estimator). Large workload arrays MUST go through ``operands`` — a
+    closed-over array becomes an HLO constant and overflows the axon
+    remote-compile relay's request-body limit (HTTP 413) at mid-dim
+    shapes; see ``timing.amortized_ms``."""
+    return amortized_ms(make, reps=30, operands=operands)[0]
 
 
 def _deriv_bytes(B, T, n, m):
@@ -180,17 +184,22 @@ def middim_sweep(dims, B, T):
         Ubar = jnp.asarray(
             0.2 * rng.standard_normal((B, T, m)), jnp.float32
         )
+        # lin/quad/final/mu/Ubar ride as explicit jit operands (NOT
+        # closures): at these shapes they are 0.1-1 GB and would 413 the
+        # remote-compile relay as embedded constants (see _timed_loop).
         for name, make, boxqp_iters in (
-            ("mid Riccati backward", lambda e: jnp.sum(riccati_backward_mid(
-                _dc.replace(lin, f_x=lin.f_x + e), quad, final, mu
-            )[1].k), 0),
-            ("mid Riccati backward boxQP", lambda e: jnp.sum(
-                riccati_backward_mid_boxqp(
-                    _dc.replace(lin, f_x=lin.f_x + e), quad, final, mu,
-                    bounds, Ubar, boxqp_iters=8,
-                )[1].k), 8),
+            ("mid Riccati backward",
+             lambda e, li, q, fi, mv, _u: jnp.sum(riccati_backward_mid(
+                 _dc.replace(li, f_x=li.f_x + e), q, fi, mv
+             )[1].k), 0),
+            ("mid Riccati backward boxQP",
+             lambda e, li, q, fi, mv, u: jnp.sum(
+                 riccati_backward_mid_boxqp(
+                     _dc.replace(li, f_x=li.f_x + e), q, fi, mv,
+                     bounds, u, boxqp_iters=8,
+                 )[1].k), 8),
         ):
-            ms = _timed_loop(make)
+            ms = _timed_loop(make, operands=(lin, quad, final, mu, Ubar))
             _roofline_record(
                 name, ms,
                 _riccati_bytes(B, T, n, m, boxqp_iters > 0),
@@ -307,37 +316,45 @@ def main():
         from tfmpc_tpu.ops.riccati_mid_pallas import (
             riccati_backward_mid, riccati_backward_mid_boxqp,
         )
+    # Every B*T-sized block (lin/quad/fin/U) is an explicit argument, not
+    # a closure: embedded-constant lowering 413s the remote-compile relay
+    # at mid-dim shapes (see _timed_loop).
     if boxqp and middim:
-        backward = lambda l: riccati_backward_mid_boxqp(
-            l, quad, fin, mu, env.bounds, U, boxqp_iters=cfg.boxqp_iters
+        backward = lambda l, q, f, mv, u: riccati_backward_mid_boxqp(
+            l, q, f, mv, env.bounds, u, boxqp_iters=cfg.boxqp_iters
         )
     elif boxqp:
-        backward = lambda l: riccati_backward_boxqp_pallas(
-            l, quad, fin, mu, env.bounds, U, boxqp_iters=cfg.boxqp_iters
+        backward = lambda l, q, f, mv, u: riccati_backward_boxqp_pallas(
+            l, q, f, mv, env.bounds, u, boxqp_iters=cfg.boxqp_iters
         )
     elif middim:
-        backward = lambda l: riccati_backward_mid(l, quad, fin, mu)
+        backward = lambda l, q, f, mv, u: riccati_backward_mid(l, q, f, mv)
     else:
-        backward = lambda l: riccati_backward_pallas(l, quad, fin, mu)
-    _, pol, _, _ = jax.jit(
-        lambda l: backward(l)
-    )(lin)
+        backward = lambda l, q, f, mv, u: riccati_backward_pallas(l, q, f, mv)
+    _, pol, _, _ = jax.jit(backward)(lin, quad, fin, mu, U)
     av = jnp.ones((B,), jnp.float32)
     alphas = cfg.alphas_static()
 
     step_flops = _env_step_flops(env, n, m)
     cl_flops = _control_law_flops(n, m)
 
+    # Shared operand tuple for every stage (threaded as jit arguments;
+    # unused ones are already on device and cost nothing).
+    ops = (X, U, lin, quad, fin, pol, x0)
     stages = {
         "derivatives": (
-            lambda e: jnp.sum(_derivatives_batched(env, X + e, U)[0].f_x),
+            lambda e, X, U, li, q, fi, p, x0: jnp.sum(
+                _derivatives_batched(env, X + e, U)[0].f_x
+            ),
             _deriv_bytes(B, T, n, m),
             B * T * (8 * n * n + 30 * n),  # analytic-derivs op model
         ),
         ("backward (Pallas Riccati{}{})".format(
             " mid" if middim else "", " boxQP" if boxqp else "")): (
-            lambda e: jnp.sum(
-                backward(dataclasses.replace(lin, f_x=lin.f_x + e))[1].k
+            lambda e, X, U, li, q, fi, p, x0: jnp.sum(
+                backward(
+                    dataclasses.replace(li, f_x=li.f_x + e), q, fi, mu, U
+                )[1].k
             ),
             _riccati_bytes(B, T, n, m, boxqp),
             B * T * _riccati_flops_per_step(
@@ -345,14 +362,16 @@ def main():
             ),
         ),
         "linesearch costs (Pallas, all alphas)": (
-            lambda e: jnp.sum(
-                linesearch_costs_pallas(env, X + e, U, pol, alphas)
+            lambda e, X, U, li, q, fi, p, x0: jnp.sum(
+                linesearch_costs_pallas(env, X + e, U, p, alphas)
             ),
             _rollout_bytes(B, T, n, m, A, materialize=False),
             A * B * T * (step_flops + cl_flops),
         ),
         "materialize (Pallas, accepted alpha)": (
-            lambda e: jnp.sum(rollout_alpha_pallas(env, X + e, U, pol, av)[2]),
+            lambda e, X, U, li, q, fi, p, x0: jnp.sum(
+                rollout_alpha_pallas(env, X + e, U, p, av)[2]
+            ),
             _rollout_bytes(B, T, n, m, A, materialize=True),
             B * T * (step_flops + cl_flops),
         ),
@@ -360,7 +379,7 @@ def main():
     if boxqp:
         # the KKT stationarity VJP (gated to stalled iterations, but its
         # unit cost was never measured in round 1)
-        kkt = lambda e: jnp.sum(
+        kkt = lambda e, X, U, li, q, fi, p, x0: jnp.sum(
             jax.vmap(jax.grad(env.total_cost, argnums=1))(x0 + e, U)
         )
         stages["kkt stationarity (XLA rollout VJP)"] = (
@@ -371,7 +390,7 @@ def main():
 
     total = 0.0
     for name, (make, nbytes, flops) in stages.items():
-        ms = _timed_loop(make)
+        ms = _timed_loop(make, operands=ops)
         total += ms
         _roofline_record(
             name, ms, nbytes, flops,
