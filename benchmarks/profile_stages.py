@@ -187,6 +187,8 @@ def middim_sweep(dims, B, T):
         # lin/quad/final/mu/Ubar ride as explicit jit operands (NOT
         # closures): at these shapes they are 0.1-1 GB and would 413 the
         # remote-compile relay as embedded constants (see _timed_loop).
+        # ``bounds`` alone stays closed-over: it is (m,)-sized by
+        # construction (a per-actuator box) and cannot grow with B*T.
         for name, make, boxqp_iters in (
             ("mid Riccati backward",
              lambda e, li, q, fi, mv, _u: jnp.sum(riccati_backward_mid(
@@ -339,11 +341,13 @@ def main():
     cl_flops = _control_law_flops(n, m)
 
     # Shared operand tuple for every stage (threaded as jit arguments;
-    # unused ones are already on device and cost nothing).
-    ops = (X, U, lin, quad, fin, pol, x0)
+    # unused ones are already on device and cost nothing). mu is included
+    # even at its (B,) size — the "every workload array via operands" rule
+    # must not depend on today's shapes (round-3 ADVICE, low).
+    ops = (X, U, lin, quad, fin, pol, x0, mu)
     stages = {
         "derivatives": (
-            lambda e, X, U, li, q, fi, p, x0: jnp.sum(
+            lambda e, X, U, li, q, fi, p, x0, mv: jnp.sum(
                 _derivatives_batched(env, X + e, U)[0].f_x
             ),
             _deriv_bytes(B, T, n, m),
@@ -351,9 +355,9 @@ def main():
         ),
         ("backward (Pallas Riccati{}{})".format(
             " mid" if middim else "", " boxQP" if boxqp else "")): (
-            lambda e, X, U, li, q, fi, p, x0: jnp.sum(
+            lambda e, X, U, li, q, fi, p, x0, mv: jnp.sum(
                 backward(
-                    dataclasses.replace(li, f_x=li.f_x + e), q, fi, mu, U
+                    dataclasses.replace(li, f_x=li.f_x + e), q, fi, mv, U
                 )[1].k
             ),
             _riccati_bytes(B, T, n, m, boxqp),
@@ -362,14 +366,14 @@ def main():
             ),
         ),
         "linesearch costs (Pallas, all alphas)": (
-            lambda e, X, U, li, q, fi, p, x0: jnp.sum(
+            lambda e, X, U, li, q, fi, p, x0, mv: jnp.sum(
                 linesearch_costs_pallas(env, X + e, U, p, alphas)
             ),
             _rollout_bytes(B, T, n, m, A, materialize=False),
             A * B * T * (step_flops + cl_flops),
         ),
         "materialize (Pallas, accepted alpha)": (
-            lambda e, X, U, li, q, fi, p, x0: jnp.sum(
+            lambda e, X, U, li, q, fi, p, x0, mv: jnp.sum(
                 rollout_alpha_pallas(env, X + e, U, p, av)[2]
             ),
             _rollout_bytes(B, T, n, m, A, materialize=True),
@@ -379,7 +383,7 @@ def main():
     if boxqp:
         # the KKT stationarity VJP (gated to stalled iterations, but its
         # unit cost was never measured in round 1)
-        kkt = lambda e, X, U, li, q, fi, p, x0: jnp.sum(
+        kkt = lambda e, X, U, li, q, fi, p, x0, mv: jnp.sum(
             jax.vmap(jax.grad(env.total_cost, argnums=1))(x0 + e, U)
         )
         stages["kkt stationarity (XLA rollout VJP)"] = (

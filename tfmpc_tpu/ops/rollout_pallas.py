@@ -60,6 +60,106 @@ def _choose_bb(B: int) -> int:
     return BB
 
 
+# --- VMEM working-set envelope (round-3 VERDICT task 1) -------------------
+#
+# Chip-measured scoped-VMEM facts (v5e, /tmp/onchip_sweep_r3.log,
+# 2026-08-18): at Mosaic's DEFAULT 16 MB scoped-VMEM budget the rollout
+# kernels stop compiling adjacent to the shipped configs — the line-search
+# costs kernel at n=m=12, BB=1024, TB=10 needs 17.96 MB and the materialize
+# kernel at n=m=16, BB=512, TB=10 needs 16.72 MB. 16 MB is a compiler
+# default, not the hardware (v5e has 128 MiB of VMEM), so — exactly like
+# the mid Riccati kernel's ``_mid_vmem_limit`` — configs past the default
+# budget raise ``vmem_limit_bytes`` instead of silently falling off the
+# kernel through ``with_kernel_fallback`` (a ~10-100x perf cliff, not a
+# crash). Only when even the raised budget would overflow does the planner
+# back off TB (next-smaller divisor of T), then halve BB (>=128: Pallas TPU
+# requires the trailing block dim to be a multiple of 128).
+_ROLLOUT_DEFAULT_BUDGET = 16 * 2 ** 20
+_ROLLOUT_RAISED_VMEM = 100 * 2 ** 20
+_ROLLOUT_RAISED_SAFE = 90 * 2 ** 20
+# Analytic-model underestimate vs Mosaic's liveness allocator, calibrated on
+# the two measured failures above (raw model 15.7 / 14.4 MB vs measured
+# 17.96 / 16.72 MB -> allocator overhead <= ~16%); 1.25 errs conservative.
+_ROLLOUT_VMEM_FUDGE = 1.25
+
+
+def _derivs_entries(n: int, m: int) -> int:
+    """Rows of the per-step derivative block (fx,fu,lx,lu,lxx,luu,lux)."""
+    return 2 * n * n + 2 * n * m + m * m + n + m
+
+
+def _rollout_vmem_bytes(kind: str, TB: int, BB: int, n: int, m: int,
+                        A: int, param_floats: int) -> int:
+    """Estimated per-grid-step scoped-VMEM working set, in bytes.
+
+    Counts the double-buffered input/output blocks (x2: the grid advances
+    along t while the next block streams in), the scratch carries, and the
+    in-register rollout state / buffered stores (which spill to VMEM at
+    these block sizes), times a calibrated allocator-overhead fudge.
+    ``kind``: "costs" | "materialize" | "derivs".
+    """
+    inputs = TB * (n + m + m * n + m) * BB       # xbar, ubar, K, k blocks
+    if kind != "costs":
+        inputs += BB                             # per-lane alpha row
+    if kind == "costs":
+        outputs = A * BB                         # J[A, BB]
+        scratch = (A * n + A) * BB               # x_s, J_s carries
+        live = A * (n + 1) * BB                  # per-alpha register state
+    elif kind == "materialize":
+        outputs = (TB * (n + m) + 1) * BB        # X, U blocks + J
+        scratch = (n + 1) * BB
+        live = TB * (n + m) * BB                 # bufX/bufU store buffers
+    else:  # "derivs"
+        d = _derivs_entries(n, m)
+        outputs = (TB * (n + m + d) + 1) * BB
+        scratch = (n + 1) * BB
+        live = TB * (n + m + d) * BB             # bufX/bufU/bufD
+    total = 2 * (inputs + outputs) + scratch + live + param_floats + 2 * m
+    return int(4 * total * _ROLLOUT_VMEM_FUDGE)
+
+
+def _rollout_plan(kind: str, B: int, T: int, n: int, m: int, A: int,
+                  param_floats: int, time_block=None):
+    """(BB, TB, vmem_limit_bytes-or-None) for a rollout kernel launch.
+
+    Keeps the measured-optimal TB/BB whenever the working set fits either
+    the default or the raised VMEM budget (raising the limit is free;
+    shrinking TB measurably costs throughput — CLAUDE.md time-blocking
+    rule). An explicit ``time_block`` override is honored as pinned (tests
+    pin TB parity): only the limit adapts.
+    """
+    BB = _choose_bb(B)
+    tb_limit = 2 if kind == "derivs" else 10
+    if time_block is not None:
+        TB = time_block
+        est = _rollout_vmem_bytes(kind, TB, BB, n, m, A, param_floats)
+        return BB, TB, (None if est <= _ROLLOUT_DEFAULT_BUDGET
+                        else _ROLLOUT_RAISED_VMEM)
+    TB = _choose_tb(T, limit=tb_limit)
+    while True:
+        est = _rollout_vmem_bytes(kind, TB, BB, n, m, A, param_floats)
+        if est <= _ROLLOUT_DEFAULT_BUDGET:
+            return BB, TB, None
+        if est <= _ROLLOUT_RAISED_SAFE:
+            return BB, TB, _ROLLOUT_RAISED_VMEM
+        if TB > 1:
+            TB = max((c for c in range(1, TB) if T % c == 0), default=1)
+            continue
+        if BB > 128:
+            BB //= 2
+            continue
+        # smallest legal blocks: launch with the raised limit and let
+        # Mosaic's own allocator arbitrate (with_kernel_fallback catches a
+        # genuine overflow at solve entry points)
+        return BB, TB, _ROLLOUT_RAISED_VMEM
+
+
+def _rollout_compiler_params(vmem_limit):
+    if vmem_limit is None:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
+
+
 def _choose_tb(T: int, limit: int = 10) -> int:
     """Largest divisor of T up to ``limit``: timesteps per grid step.
 
@@ -310,13 +410,15 @@ def rollout_alpha_derivs_pallas(env, X, U, policy, alpha_vec,
 
     leaves2d, treedef, orig_leaves = _param_inputs(params)
     has_bounds = env.bounds is not None
-    BB = _choose_bb(B)
-    nb = B // BB
-    # TB=2, not the plain-materialize heuristic: this variant buffers ~6x
-    # more output rows per step (the derivative blocks), and larger blocks
-    # spill registers (measured on chip at B=4096 T=100 nav:
+    # TB limit 2, not the plain-materialize heuristic: this variant buffers
+    # ~6x more output rows per step (the derivative blocks), and larger
+    # blocks spill registers (measured on chip at B=4096 T=100 nav:
     # TB 1/2/5/10 -> 1.45/1.20/1.76/1.89 ms).
-    TB = _choose_tb(T, limit=2) if time_block is None else time_block
+    BB, TB, vmem_limit = _rollout_plan(
+        "derivs", B, T, n, m, 1, sum(a.size for a in leaves2d),
+        time_block=time_block,
+    )
+    nb = B // BB
 
     in_specs, bmap2 = _common_specs(T, TB, n, m, BB, has_bounds, leaves2d)
     in_specs = [pl.BlockSpec((1, BB), bmap2, memory_space=pltpu.VMEM)] + in_specs
@@ -357,6 +459,7 @@ def rollout_alpha_derivs_pallas(env, X, U, policy, alpha_vec,
             pltpu.VMEM((1, BB), X.dtype),
         ],
         interpret=jax.default_backend() == "cpu",
+        compiler_params=_rollout_compiler_params(vmem_limit),
     )(*inputs)
 
     X_out, U_out, J = out[:3]
@@ -419,9 +522,11 @@ def linesearch_costs_pallas(env, X, U, policy, alphas,
 
     leaves2d, treedef, orig_leaves = _param_inputs(params)
     has_bounds = env.bounds is not None
-    BB = _choose_bb(B)
+    BB, TB, vmem_limit = _rollout_plan(
+        "costs", B, T, n, m, A, sum(a.size for a in leaves2d),
+        time_block=time_block,
+    )
     nb = B // BB
-    TB = _choose_tb(T) if time_block is None else time_block
 
     in_specs, bmap2 = _common_specs(T, TB, n, m, BB, has_bounds, leaves2d)
     inputs = [xbar, ubar, Kk, kk]
@@ -441,6 +546,7 @@ def linesearch_costs_pallas(env, X, U, policy, alphas,
             pltpu.VMEM((A, BB), X.dtype),
         ],
         interpret=jax.default_backend() == "cpu",
+        compiler_params=_rollout_compiler_params(vmem_limit),
     )(*inputs)[0]
     # numerical blowups must always be rejected by the line search
     J = jnp.where(jnp.isfinite(J), J, jnp.inf)
@@ -468,9 +574,11 @@ def rollout_alpha_pallas(env, X, U, policy, alpha_vec, time_block=None):
 
     leaves2d, treedef, orig_leaves = _param_inputs(params)
     has_bounds = env.bounds is not None
-    BB = _choose_bb(B)
+    BB, TB, vmem_limit = _rollout_plan(
+        "materialize", B, T, n, m, 1, sum(a.size for a in leaves2d),
+        time_block=time_block,
+    )
     nb = B // BB
-    TB = _choose_tb(T) if time_block is None else time_block
 
     in_specs, bmap2 = _common_specs(T, TB, n, m, BB, has_bounds, leaves2d)
     in_specs = [pl.BlockSpec((1, BB), bmap2, memory_space=pltpu.VMEM)] + in_specs
@@ -500,6 +608,7 @@ def rollout_alpha_pallas(env, X, U, policy, alpha_vec, time_block=None):
             pltpu.VMEM((1, BB), X.dtype),
         ],
         interpret=jax.default_backend() == "cpu",
+        compiler_params=_rollout_compiler_params(vmem_limit),
     )(*inputs)
 
     X_new = jnp.concatenate(
