@@ -23,6 +23,7 @@ Run on chip: PYTHONPATH=/root/.axon_site:/root/repo \
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 
@@ -33,22 +34,32 @@ import numpy as np
 
 
 def main():
+    # --batch/--horizon/--caps override the suite config ONLY for cheap
+    # CPU smoke runs (pre-flighting the sweep step); the defaults ARE the
+    # config-3b numbers the triage is about.
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--horizon", type=int, default=50)
+    ap.add_argument("--caps", default="20,40,80")
+    args = ap.parse_args()
+
     from tfmpc_tpu.models.registry import load_env
     from tfmpc_tpu.solvers import ilqr
 
     env = load_env(os.path.join(
         os.path.dirname(__file__), "..", "configs", "hvac16.json"
     ))
-    B = 512
+    B, horizon = args.batch, args.horizon
+    caps = [int(c) for c in args.caps.split(",")]
     x0 = jnp.asarray(
         np.random.default_rng(0).uniform(8, 18, size=(B, 16)).astype("f4")
     )
 
-    for max_it in (20, 40, 80):
+    for max_it in caps:
         cfg = ilqr.ILQRConfig(
             atol=1e-2, max_iterations=max_it, boxqp=True, use_pallas=True
         )
-        res = ilqr.solve_batch(env, x0, horizon=50, config=cfg)
+        res = ilqr.solve_batch(env, x0, horizon=horizon, config=cfg)
         conv = np.asarray(res.converged)
         fail = np.asarray(res.failed)
         resid = np.asarray(res.residual)
@@ -73,9 +84,9 @@ def main():
     # "unconverged" tail actually at a boundary optimum the cost-decrease
     # residual can't see?
     cfg20 = ilqr.ILQRConfig(
-        atol=1e-2, max_iterations=20, boxqp=True, use_pallas=True
+        atol=1e-2, max_iterations=caps[0], boxqp=True, use_pallas=True
     )
-    res20 = ilqr.solve_batch(env, x0, horizon=50, config=cfg20)
+    res20 = ilqr.solve_batch(env, x0, horizon=horizon, config=cfg20)
     bad = ~np.asarray(res20.converged)
     if bad.any():
         idx = np.flatnonzero(bad)
