@@ -17,10 +17,13 @@ cd "$(dirname "$0")/.."
 LOG="${1:-/tmp/onchip_sweep_$(date +%Y%m%d_%H%M%S).log}"
 export PYTHONPATH=/root/.axon_site:/root/repo
 
+# Exit codes: 0 = all steps passed; 1 = sweep COMPLETED with step
+# failures (measurements exist — do not blindly re-run); 2 = aborted
+# before any step (relay down).
 health=$(curl -s -o /dev/null -w "%{http_code}" http://127.0.0.1:8103/health)
 if [ "$health" = "000" ]; then
     echo "tunnel relay down (health=000) — aborting sweep" | tee -a "$LOG"
-    exit 1
+    exit 2
 fi
 echo "tunnel health=$health; logging to $LOG"
 

@@ -246,19 +246,25 @@ def main():
             0.2 * rngs.standard_normal((Bsp, 50, dsp)), jnp.float32
         )
         sp_ops = (lins, quads, fins, mus, Ubars)
-        ms_scan = amortized_ms(
-            lambda e, li, q, fi, mv, u: jnp.sum(jax.vmap(
-                lambda l_, q_, f_, mv_, u_: ilqr.backward(
-                    l_, q_, f_, mv_, cfgb16, bounds=boundss, Ubar=u_)
-            )(dataclasses.replace(li, f_x=li.f_x + e), q, fi, mv, u)[1].k),
-            reps=10, operands=sp_ops,
-        )[0]
-        ms_mid = amortized_ms(
-            lambda e, li, q, fi, mv, u: jnp.sum(riccati_backward_mid_boxqp(
-                dataclasses.replace(li, f_x=li.f_x + e), q, fi, mv,
-                boundss, u, boxqp_iters=8)[1].k),
-            reps=10, operands=sp_ops,
-        )[0]
+        # BOTH timings trace under highest matmul precision — that is what
+        # the production solve paths run (ilqr.solve/solve_batch wrap it);
+        # timing the scan at the TPU default would compare the kernel
+        # against a faster-than-production bf16-pass scan and understate
+        # the speedup.
+        with jax.default_matmul_precision("highest"):
+            ms_scan = amortized_ms(
+                lambda e, li, q, fi, mv, u: jnp.sum(jax.vmap(
+                    lambda l_, q_, f_, mv_, u_: ilqr.backward(
+                        l_, q_, f_, mv_, cfgb16, bounds=boundss, Ubar=u_)
+                )(dataclasses.replace(li, f_x=li.f_x + e), q, fi, mv, u)[1].k),
+                reps=10, operands=sp_ops,
+            )[0]
+            ms_mid = amortized_ms(
+                lambda e, li, q, fi, mv, u: jnp.sum(riccati_backward_mid_boxqp(
+                    dataclasses.replace(li, f_x=li.f_x + e), q, fi, mv,
+                    boundss, u, boxqp_iters=8)[1].k),
+                reps=10, operands=sp_ops,
+            )[0]
         speedup = ms_scan / ms_mid
         checks.append((
             f"mid boxQP kernel >=10x over vmapped scan at n={dsp} "
@@ -364,7 +370,8 @@ def main():
     # is still-iterating lanes, not mu_max failures — see
     # benchmarks/hvac16_investigate.py output in PARITY.md).
     r3b = ilqr.solve_batch(
-        env16, x0h16 := jnp.asarray(
+        env16,
+        jnp.asarray(
             np.random.default_rng(0).uniform(8, 18, size=(512, 16))
             .astype("f4")
         ),

@@ -24,7 +24,11 @@ else
     echo "stale lock (owner ${owner:-unknown} dead) — taking over"
     echo $$ > "$LOCK/pid"
 fi
-trap 'rm -rf "$LOCK" 2>/dev/null' EXIT INT TERM
+# Separate signal traps: a handler without `exit` resumes the loop after
+# the current command, so a plain TERM previously left a lockless zombie
+# watcher running (observed 2026-08-19) — the EXIT trap does the cleanup.
+trap 'rm -rf "$LOCK" 2>/dev/null' EXIT
+trap 'exit 143' INT TERM
 
 health() {
     curl -s -o /dev/null -w "%{http_code}" --max-time 5 http://127.0.0.1:8103/health
@@ -63,11 +67,14 @@ while :; do
     echo "starting onchip sweep $(date -u)"
     bash benchmarks/onchip_sweep.sh /tmp/onchip_sweep_auto.log
     rc=$?
-    if [ "$rc" -eq 0 ]; then
-        echo "sweep finished $(date -u) (log: /tmp/onchip_sweep_auto.log)"
-        exit 0
+    # rc=0: all steps passed. rc=1: the sweep COMPLETED but some steps
+    # failed — the measurements that exist are in the log; re-running the
+    # whole sweep would loop failing steps for hours, so stop and let a
+    # human read the FAIL summary. Only rc=2 (aborted before any step:
+    # relay flapped) warrants re-polling.
+    if [ "$rc" -ne 2 ]; then
+        echo "sweep finished rc=$rc $(date -u) (log: /tmp/onchip_sweep_auto.log)"
+        exit "$rc"
     fi
-    # onchip_sweep exits non-zero only when its own health gate failed;
-    # anything else inside it is per-step timeouts that do not fail the run.
-    echo "sweep aborted (rc=$rc) at $(date -u) — re-polling"
+    echo "sweep aborted before start (rc=$rc) at $(date -u) — re-polling"
 done

@@ -78,8 +78,11 @@ _ROLLOUT_DEFAULT_BUDGET = 16 * 2 ** 20
 _ROLLOUT_RAISED_VMEM = 100 * 2 ** 20
 _ROLLOUT_RAISED_SAFE = 90 * 2 ** 20
 # Analytic-model underestimate vs Mosaic's liveness allocator, calibrated on
-# the two measured failures above (raw model 15.7 / 14.4 MB vs measured
-# 17.96 / 16.72 MB -> allocator overhead <= ~16%); 1.25 errs conservative.
+# the two measured failures above at their REAL alpha counts (the failing
+# profile runs used ILQRConfig's default 11-alpha grid): raw model 15.27 /
+# 13.79 MB vs measured 17.96 / 16.72 MB -> allocator overhead 17.6% / 21.2%.
+# 1.25 covers both; the margin only matters near the _ROLLOUT_RAISED_SAFE
+# boundary, where a few-percent underestimate is ~4 MB against 10 MiB slack.
 _ROLLOUT_VMEM_FUDGE = 1.25
 
 
@@ -135,7 +138,14 @@ def _rollout_plan(kind: str, B: int, T: int, n: int, m: int, A: int,
         est = _rollout_vmem_bytes(kind, TB, BB, n, m, A, param_floats)
         return BB, TB, (None if est <= _ROLLOUT_DEFAULT_BUDGET
                         else _ROLLOUT_RAISED_VMEM)
-    TB = _choose_tb(T, limit=tb_limit)
+    return _plan_blocks(kind, B, T, n, m, A, param_floats,
+                        _choose_tb(T, limit=tb_limit), BB)
+
+
+def _plan_blocks(kind, B, T, n, m, A, param_floats, TB, BB):
+    """Backend-free planning loop: shrink TB, then BB, until the estimate
+    fits a budget. Separated from ``_rollout_plan`` so the backoff path is
+    directly testable (``_choose_tb`` is backend-dependent)."""
     while True:
         est = _rollout_vmem_bytes(kind, TB, BB, n, m, A, param_floats)
         if est <= _ROLLOUT_DEFAULT_BUDGET:
@@ -145,8 +155,15 @@ def _rollout_plan(kind: str, B: int, T: int, n: int, m: int, A: int,
         if TB > 1:
             TB = max((c for c in range(1, TB) if T % c == 0), default=1)
             continue
-        if BB > 128:
-            BB //= 2
+        # BB backoff must preserve BOTH launch invariants: BB divides B and
+        # the trailing block dim stays a multiple of 128 (Mosaic lane
+        # width). Naive halving breaks both for non-power-of-two batches
+        # (B=640 -> 320 = 2.5x128). Pick the largest legal divisor below
+        # the current BB; when none exists, stop backing off.
+        smaller = max((d for d in range(128, BB, 128)
+                       if B % d == 0), default=None)
+        if smaller is not None:
+            BB = smaller
             continue
         # smallest legal blocks: launch with the raised limit and let
         # Mosaic's own allocator arbitrate (with_kernel_fallback catches a
