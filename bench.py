@@ -28,7 +28,7 @@ warnings.filterwarnings("error", message="fused Pallas kernel path failed")
 
 # Persistent XLA compile cache (shared with pytest + benchmarks/): repeat
 # bench runs skip the tunnel recompiles; a cache hit cannot change results.
-jax.config.update("jax_compilation_cache_dir", "/tmp/tfmpc_tpu_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/tfmpc_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 _TUNNEL_NOTE = ""

@@ -24,7 +24,7 @@ if _ROOT not in sys.path:
 # executable serialization (jax falls back to compiling).
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/tfmpc_tpu_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/tfmpc_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 # The eager solve entry points degrade to the XLA path when a kernel fails

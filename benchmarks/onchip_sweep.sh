@@ -51,8 +51,11 @@ run() {
 #    longest step: mid-dim scan compiles).
 run release_check 7200 python benchmarks/release_check.py
 
-# 2. Headline bench (driver-facing JSON line).
-run bench 1200 python bench.py
+# 2. Headline bench (driver-facing JSON line). 40 min: a COLD compile
+#    cache (container restarts wipe /tmp; the cache now lives under
+#    /root/.cache for this reason) plus a slow tunnel hour measurably
+#    exceeded 20 min (r4 sweep: bench exit=124 at 1200s).
+run bench 2400 python bench.py
 
 # 3. Mid-dim kernel roofline: achieved %HBM/%VPU at 4 dims (VERDICT item 1).
 run middim_roofline 3600 python benchmarks/profile_stages.py --middim 16,24,32,48
