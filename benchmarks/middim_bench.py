@@ -87,6 +87,9 @@ def main():
     from tfmpc_tpu.ops.riccati_mid_pallas import (
         riccati_backward_mid, riccati_backward_mid_boxqp,
     )
+    from tfmpc_tpu.ops.riccati_pallas import (
+        riccati_backward_boxqp_pallas, riccati_backward_pallas,
+    )
     from tfmpc_tpu.solvers import ilqr
 
     B, T = args.batch, args.horizon
@@ -112,6 +115,18 @@ def main():
                             fi, mv
                         )[1].k)),
                 ]
+                if d <= 12:
+                    # Boundary A/B: at d <= 12 the dispatcher picks the
+                    # unrolled lane kernel (MID_DIM_MIN = 13 — an assumption
+                    # until this measures it). Both kernels are mechanically
+                    # valid here; time them head-to-head.
+                    variants += [
+                        ("lane-kernel", lambda e, li, q, fi, mv, _u: jnp.sum(
+                            riccati_backward_pallas(
+                                dataclasses.replace(li, f_x=li.f_x + e), q,
+                                fi, mv
+                            )[1].k)),
+                    ]
         cfgb = ilqr.ILQRConfig(boxqp=True, boxqp_iters=8)
         variants += [
             ("scan-boxqp", lambda e, li, q, fi, mv, u: jnp.sum(jax.vmap(
@@ -128,6 +143,14 @@ def main():
                         fi, mv, bounds, u, boxqp_iters=8
                     )[1].k)),
             ]
+            if d <= 12:
+                variants += [
+                    ("lane-kernel-boxqp", lambda e, li, q, fi, mv, u: jnp.sum(
+                        riccati_backward_boxqp_pallas(
+                            dataclasses.replace(li, f_x=li.f_x + e), q,
+                            fi, mv, bounds, u, boxqp_iters=8
+                        )[1].k)),
+                ]
         times = {}
         for name, make in variants:
             ms, comp = _timed(make, operands=(lin, quad, final, mu, Ubar))
@@ -136,7 +159,9 @@ def main():
                 "dims": d, "variant": name, "ms_per_backward": round(ms, 3),
                 "compile_s": round(comp, 1), "batch": B, "horizon": T,
             }), flush=True)
-        for a, b in (("scan", "mid-kernel"), ("scan-boxqp", "mid-kernel-boxqp")):
+        for a, b in (("scan", "mid-kernel"), ("scan-boxqp", "mid-kernel-boxqp"),
+                     ("lane-kernel", "mid-kernel"),
+                     ("lane-kernel-boxqp", "mid-kernel-boxqp")):
             if a in times and b in times:
                 print(json.dumps({
                     "dims": d, "speedup": f"{a} / {b}",

@@ -114,7 +114,14 @@ class TestRandomEnvsMidDim:
         monkeypatch.setenv("TFMPC_TPU_FORCE_MID_KERNEL", "1")
 
     @pytest.mark.parametrize(
-        "seed,n,m,bounded", [(55, 16, 13, False), (66, 14, 16, True)]
+        "seed,n,m,bounded",
+        # (77, 12, 12, True): n=12 is BELOW the TPU dispatch boundary
+        # (MID_DIM_MIN=13 / lane_limit=12) but the mid kernel is
+        # mechanically valid there — pinned so a measured boundary flip
+        # (benchmarks/middim_bench.py --dims 12 lane-vs-mid A/B) lands on
+        # pre-tested ground. CPU lane_limit is 8, so force_mid reaches the
+        # mid kernel at n=12 here.
+        [(55, 16, 13, False), (66, 14, 16, True), (77, 12, 12, True)],
     )
     def test_mid_kernels_match_xla(self, force_mid, seed, n, m, bounded):
         env = _make_env(seed, n, m, bounded)
