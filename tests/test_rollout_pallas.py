@@ -24,7 +24,9 @@ from tfmpc_tpu.models.navigation import make_navigation
 from tfmpc_tpu.models.reservoir import make_reservoir
 from tfmpc_tpu.ops.rollout_pallas import (
     linesearch_costs_pallas,
+    linesearch_costs_traj_pallas,
     rollout_alpha_pallas,
+    select_alpha_trajectory,
 )
 from tfmpc_tpu.solvers import ilqr
 from tfmpc_tpu.solvers.ilqr import forward
@@ -120,6 +122,37 @@ class TestKernelParity:
         )(X, U, policy)
         np.testing.assert_allclose(
             np.asarray(J_kernel), np.asarray(J_ref), rtol=2e-5, atol=1e-2
+        )
+
+    def test_costs_traj_matches_costs_and_materialize(self, name, rng):
+        """The trajectory-emitting costs kernel returns the SAME costs as
+        the costs-only kernel, and selecting any alpha index from its
+        emitted blocks reproduces the materialize kernel's rollout."""
+        env, X, U, policy = self._setup(name, rng)
+        alphas = (1.0, 0.5, 0.1)
+        J_all, X_all, U_all = linesearch_costs_traj_pallas(
+            env, X, U, policy, alphas
+        )
+        J_costs = linesearch_costs_pallas(env, X, U, policy, alphas)
+        np.testing.assert_allclose(
+            np.asarray(J_all), np.asarray(J_costs), rtol=1e-6
+        )
+        best = jnp.asarray(rng.integers(0, len(alphas), size=(self.B,)))
+        X_sel, U_sel, J_sel = select_alpha_trajectory(
+            X, X_all, U_all, J_all, best
+        )
+        alpha_vec = jnp.asarray(alphas, X.dtype)[best]
+        X_mat, U_mat, J_mat = rollout_alpha_pallas(
+            env, X, U, policy, alpha_vec
+        )
+        np.testing.assert_allclose(
+            np.asarray(X_sel), np.asarray(X_mat), rtol=1e-6, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(U_sel), np.asarray(U_mat), rtol=1e-6, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(J_sel), np.asarray(J_mat), rtol=1e-6
         )
 
     def test_rollout_alpha(self, name, rng):
@@ -300,6 +333,72 @@ def test_time_blocked_materialize_matches_per_step(rng):
     out2 = rollout_alpha_pallas(env, X, U, policy, alpha_vec, time_block=2)
     for a1, a2 in zip(out1, out2):
         np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=1e-6)
+
+
+def test_select_alpha_trajectory_is_nan_safe():
+    """A diverged (inf/NaN) candidate must not poison scenarios that
+    selected a DIFFERENT alpha — the reason selection is a where-chain
+    and not a one-hot contraction (0 * inf = nan)."""
+    T, A, n, m, B = 3, 2, 2, 1, 4
+    X_all = jnp.ones((T, A, n, B))
+    U_all = jnp.ones((T, A, m, B))
+    # candidate alpha 0 diverged for every scenario
+    X_all = X_all.at[:, 0].set(jnp.nan)
+    U_all = U_all.at[:, 0].set(jnp.inf)
+    J_all = jnp.stack([jnp.full((B,), jnp.inf), jnp.full((B,), 2.0)], axis=1)
+    best = jnp.array([1, 1, 1, 1])
+    X0 = jnp.zeros((B, T + 1, n))
+    X_sel, U_sel, J_sel = select_alpha_trajectory(X0, X_all, U_all, J_all, best)
+    assert np.isfinite(np.asarray(X_sel)).all()
+    assert np.isfinite(np.asarray(U_sel)).all()
+    np.testing.assert_array_equal(np.asarray(J_sel), 2.0)
+
+
+def test_time_blocked_costs_traj_match_per_step(rng):
+    """TB>1 buffered-store all-alpha emission is a pure reindexing of TB=1."""
+    env = ENVS["navigation"]
+    B, T = 128, 4
+    n = m = 2
+    x0 = _x0_batch(env, B, rng)
+    U = jnp.asarray(rng.uniform(-1, 1, size=(B, T, m)).astype("f4"))
+    X, _ = jax.vmap(env.rollout)(x0, U)
+    policy = Policy(
+        K=jnp.asarray(0.05 * rng.standard_normal((B, T, m, n)).astype("f4")),
+        k=jnp.asarray(0.1 * rng.standard_normal((B, T, m)).astype("f4")),
+    )
+    alphas = (1.0, 0.5)
+    out1 = linesearch_costs_traj_pallas(env, X, U, policy, alphas, time_block=1)
+    out2 = linesearch_costs_traj_pallas(env, X, U, policy, alphas, time_block=2)
+    for a1, a2 in zip(out1, out2):
+        np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=1e-6)
+
+
+def test_solve_batch_emit_trajectories_matches_two_kernel_path(rng):
+    """End-to-end: linesearch_emit_trajectories=True solves land in the
+    same basin as the two-kernel fused path. The selected trajectory is
+    the same arithmetic as the re-rolled one op-for-op, but the two kernel
+    graphs differ in surrounding ops, so compiler FMA/fusion choices can
+    flip a borderline line-search acceptance for the odd lane (measured:
+    1/128 lanes, 4.5e-6 rel) — same tolerance story as
+    test_solve_batch_fused_matches_xla."""
+    env = ENVS["hvac"]
+    B = 128
+    x0 = _x0_batch(env, B, rng)
+    base = dict(atol=1e-3, max_iterations=20, boxqp=True, use_pallas=True)
+    res_two = ilqr.solve_batch(
+        env, x0, horizon=8, config=ilqr.ILQRConfig(**base)
+    )
+    res_emit = ilqr.solve_batch(
+        env, x0, horizon=8,
+        config=ilqr.ILQRConfig(**base, linesearch_emit_trajectories=True),
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_emit.total_cost), np.asarray(res_two.total_cost),
+        rtol=1e-4,
+    )
+    assert (
+        np.asarray(res_emit.converged) == np.asarray(res_two.converged)
+    ).mean() > 0.95
 
 
 def test_time_blocked_costs_match_per_step(rng):

@@ -58,6 +58,12 @@ class TestEstimatorCalibration:
         derivs = _rollout_vmem_bytes("derivs", 2, 512, 6, 6, 1, 100)
         assert derivs > plain
 
+    def test_costs_traj_counts_all_alpha_blocks(self):
+        costs = _rollout_vmem_bytes("costs", 2, 512, 6, 6, 11, 100)
+        traj = _rollout_vmem_bytes("costs_traj", 2, 512, 6, 6, 11, 100)
+        # emits 11 trajectories' worth of X/U blocks on top of the costs
+        assert traj > costs + 2 * 2 * 11 * (6 + 6) * 512 * 4
+
 
 class TestPlanner:
     def test_headline_nav_keeps_default(self):

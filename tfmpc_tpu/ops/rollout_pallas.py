@@ -99,15 +99,19 @@ def _rollout_vmem_bytes(kind: str, TB: int, BB: int, n: int, m: int,
     along t while the next block streams in), the scratch carries, and the
     in-register rollout state / buffered stores (which spill to VMEM at
     these block sizes), times a calibrated allocator-overhead fudge.
-    ``kind``: "costs" | "materialize" | "derivs".
+    ``kind``: "costs" | "costs_traj" | "materialize" | "derivs".
     """
     inputs = TB * (n + m + m * n + m) * BB       # xbar, ubar, K, k blocks
-    if kind != "costs":
+    if kind not in ("costs", "costs_traj"):
         inputs += BB                             # per-lane alpha row
     if kind == "costs":
         outputs = A * BB                         # J[A, BB]
         scratch = (A * n + A) * BB               # x_s, J_s carries
         live = A * (n + 1) * BB                  # per-alpha register state
+    elif kind == "costs_traj":
+        outputs = (TB * A * (n + m) + A) * BB    # all-alpha X/U blocks + J
+        scratch = (A * n + A) * BB
+        live = (A * (n + 1) + TB * A * (n + m)) * BB  # state + store buffers
     elif kind == "materialize":
         outputs = (TB * (n + m) + 1) * BB        # X, U blocks + J
         scratch = (n + 1) * BB
@@ -132,7 +136,12 @@ def _rollout_plan(kind: str, B: int, T: int, n: int, m: int, A: int,
     pin TB parity): only the limit adapts.
     """
     BB = _choose_bb(B)
-    tb_limit = 2 if kind == "derivs" else 10
+    # Heavy-store kernels prefer tiny time blocks: the derivs variant
+    # buffers ~(n+m+d) output rows per timestep and measured fastest at
+    # TB=2 (1.45/1.20/1.76/1.89 ms at TB 1/2/5/10, chip); costs_traj
+    # buffers A*(n+m) rows per timestep — even more at the default
+    # 11-alpha grid — so it gets the same limit.
+    tb_limit = 2 if kind in ("derivs", "costs_traj") else 10
     if time_block is not None:
         TB = time_block
         est = _rollout_vmem_bytes(kind, TB, BB, n, m, A, param_floats)
@@ -253,6 +262,83 @@ def _costs_kernel(T, TB, n, m, A, alphas, step_fn, final_fn, treedef,
                 Js[a] = Jrow
                 xs[a] = x_next
 
+        for a in range(A):
+            x_s[a * n:(a + 1) * n, :] = xs[a]
+            J_s[a, :] = Js[a]
+        J_ref[:, :] = J_s[:, :]
+
+    return kernel
+
+
+def _costs_traj_kernel(T, TB, n, m, A, alphas, step_fn, final_fn, treedef,
+                       orig_leaves, n_params, has_bounds):
+    """Costs kernel that ALSO emits the all-alpha trajectories.
+
+    Same rollout arithmetic as ``_costs_kernel`` (the emitted trajectory for
+    any alpha is bit-identical to what ``_materialize_kernel`` would
+    recompute for it), but each candidate's (x_{t+1}, u_t) is stored to
+    [TB, A*n, BB] / [TB, A*m, BB] output blocks — so the solver can pick
+    each scenario's accepted trajectory with a cheap XLA select instead of
+    a SECOND serial T-chain rollout. All stores buffered to block end (the
+    measured time-blocking rule, CLAUDE.md).
+    """
+    def kernel(*refs):
+        (xbar_ref, ubar_ref, K_ref, k_ref) = refs[:4]
+        idx = 4
+        if has_bounds:
+            lo_ref, hi_ref = refs[idx], refs[idx + 1]
+            idx += 2
+        param_refs = refs[idx: idx + n_params]
+        X_ref, U_ref, J_ref = refs[idx + n_params: idx + n_params + 3]
+        x_s, J_s = refs[idx + n_params + 3:]
+
+        t = pl.program_id(1)
+        params = _read_params(param_refs, treedef, orig_leaves)
+
+        @pl.when(t == 0)
+        def _init():
+            for a in range(A):
+                x_s[a * n:(a + 1) * n, :] = xbar_ref[0, :, :]
+            J_s[:, :] = jnp.zeros_like(J_s)
+
+        xs = [x_s[a * n:(a + 1) * n, :] for a in range(A)]
+        Js = [J_s[a, :] for a in range(A)]
+
+        bufX = [[None] * A for _ in range(TB)]
+        bufU = [[None] * A for _ in range(TB)]
+        for tl in range(TB):
+            xbar = xbar_ref[tl, :, :]
+            ubar = ubar_ref[tl, :, :]
+            K = K_ref[tl, :, :]
+            kv = k_ref[tl, :, :]
+
+            for a in range(A):
+                x = xs[a]
+                dx = [x[i] - xbar[i] for i in range(n)]
+                u_rows = []
+                for b in range(m):
+                    u = ubar[b] + alphas[a] * kv[b]
+                    u = u + sum(K[b * n + i] * dx[i] for i in range(n))
+                    if has_bounds:
+                        u = jnp.clip(u, lo_ref[b, 0], hi_ref[b, 0])
+                    u_rows.append(u)
+                u_mat = jnp.stack(u_rows)
+                x_next, cost = step_fn(params, x, u_mat)
+                Jrow = Js[a] + cost
+                if final_fn is not None and tl == TB - 1:
+                    Jrow = jnp.where(
+                        t == T // TB - 1, Jrow + final_fn(params, x_next),
+                        Jrow,
+                    )
+                Js[a] = Jrow
+                xs[a] = x_next
+                bufX[tl][a] = x_next
+                bufU[tl][a] = u_mat
+
+        for tl in range(TB):
+            for a in range(A):
+                X_ref[tl, a * n:(a + 1) * n, :] = bufX[tl][a]
+                U_ref[tl, a * m:(a + 1) * m, :] = bufU[tl][a]
         for a in range(A):
             x_s[a * n:(a + 1) * n, :] = xs[a]
             J_s[a, :] = Js[a]
@@ -568,6 +654,109 @@ def linesearch_costs_pallas(env, X, U, policy, alphas,
     # numerical blowups must always be rejected by the line search
     J = jnp.where(jnp.isfinite(J), J, jnp.inf)
     return jnp.transpose(J, (1, 0))  # [B, A]
+
+
+def linesearch_costs_traj_pallas(env, X, U, policy, alphas,
+                                 time_block=None, policy_lane=None):
+    """Line-search costs AND all-alpha trajectories in one fused rollout.
+
+    Same contract as ``linesearch_costs_pallas`` plus the candidate
+    trajectories, so the iteration needs only ONE serial T-chain: the
+    accepted trajectory becomes an XLA select over the alpha axis
+    (``select_alpha_trajectory``) instead of a second fused rollout
+    (``rollout_alpha_pallas``). Costs A-times the trajectory HBM writes —
+    cheap at small n/m where the rollout kernels are latency-bound
+    (PARITY.md §6) — in exchange for dropping a whole sequential chain.
+
+    Returns ``(J_all [B, A], X_all [T, A, n, B], U_all [T, A, m, B])``;
+    the trajectory blocks stay in the kernels' lane-major layout (select
+    first, transpose once).
+    """
+    lane = env.lane_functions()
+    assert lane is not None
+    params, step_fn, final_fn = lane
+    B, T, m = U.shape
+    n = X.shape[-1]
+    alphas_t = tuple(float(a) for a in alphas)
+    A = len(alphas_t)
+
+    xbar = jnp.transpose(X[:, :-1], (1, 2, 0))
+    ubar = jnp.transpose(U, (1, 2, 0))
+    if policy_lane is not None:
+        Kk, kk = policy_lane
+    else:
+        Kk = jnp.transpose(policy.K.reshape(B, T, m * n), (1, 2, 0))
+        kk = jnp.transpose(policy.k, (1, 2, 0))
+
+    leaves2d, treedef, orig_leaves = _param_inputs(params)
+    has_bounds = env.bounds is not None
+    BB, TB, vmem_limit = _rollout_plan(
+        "costs_traj", B, T, n, m, A, sum(a.size for a in leaves2d),
+        time_block=time_block,
+    )
+    nb = B // BB
+
+    in_specs, bmap2 = _common_specs(T, TB, n, m, BB, has_bounds, leaves2d)
+    inputs = [xbar, ubar, Kk, kk]
+    if has_bounds:
+        inputs += [env.bounds.low.reshape(m, 1), env.bounds.high.reshape(m, 1)]
+    inputs += leaves2d
+
+    tmap = lambda bi, t: (t, 0, bi)
+    X_all, U_all, J = pl.pallas_call(
+        _costs_traj_kernel(T, TB, n, m, A, alphas_t, step_fn, final_fn,
+                           treedef, orig_leaves, len(leaves2d), has_bounds),
+        grid=(nb, T // TB),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((TB, A * n, BB), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, A * m, BB), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((A, BB), bmap2, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, A * n, B), X.dtype),
+            jax.ShapeDtypeStruct((T, A * m, B), X.dtype),
+            jax.ShapeDtypeStruct((A, B), X.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((A * n, BB), X.dtype),
+            pltpu.VMEM((A, BB), X.dtype),
+        ],
+        interpret=jax.default_backend() == "cpu",
+        compiler_params=_rollout_compiler_params(vmem_limit),
+    )(*inputs)
+
+    J = jnp.where(jnp.isfinite(J), J, jnp.inf)
+    return (
+        jnp.transpose(J, (1, 0)),
+        X_all.reshape(T, A, n, B),
+        U_all.reshape(T, A, m, B),
+    )
+
+
+def select_alpha_trajectory(X, X_all, U_all, J_all, best):
+    """Pick each scenario's accepted-alpha trajectory from the all-alpha
+    blocks of ``linesearch_costs_traj_pallas``.
+
+    ``best [B]`` indexes the alpha grid per scenario. Selection is a
+    where-chain, NOT a one-hot contraction: a diverged candidate rollout
+    can carry inf/NaN states, and ``0 * inf = nan`` would poison every
+    scenario in a one-hot matmul. Returns ``(X_new [B, T+1, n],
+    U_new [B, T, m], J_best [B])`` — arithmetically identical to
+    ``rollout_alpha_pallas(env, X, U, policy, alphas[best])``.
+    """
+    A = J_all.shape[1]
+    Xs, Us = X_all[:, 0], U_all[:, 0]
+    for a in range(1, A):
+        pick = best == a
+        Xs = jnp.where(pick, X_all[:, a], Xs)
+        Us = jnp.where(pick, U_all[:, a], Us)
+    X_new = jnp.concatenate(
+        [X[:, :1], jnp.transpose(Xs, (2, 0, 1))], axis=1
+    )
+    U_new = jnp.transpose(Us, (2, 0, 1))
+    J_best = jnp.take_along_axis(J_all, best[:, None], axis=1)[:, 0]
+    return X_new, U_new, J_best
 
 
 def rollout_alpha_pallas(env, X, U, policy, alpha_vec, time_block=None):

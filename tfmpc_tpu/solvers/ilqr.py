@@ -82,6 +82,18 @@ class ILQRConfig:
     # pipeline level. Kept as an option for larger-dim lane_derivatives
     # envs where the tradeoff may flip.
     fuse_derivatives: bool = False
+    # EXPERIMENTAL. With use_pallas, the line-search kernel also emits the
+    # all-alpha candidate trajectories (ops/rollout_pallas.py::
+    # linesearch_costs_traj_pallas), so the accepted trajectory becomes a
+    # cheap XLA select instead of a second serial T-chain rollout
+    # (rollout_alpha_pallas) — the iteration runs ONE fused rollout chain
+    # instead of two. Trades A-times the trajectory HBM writes (cheap at
+    # small n/m, where the rollout kernels sit at 1-4% of both rooflines,
+    # PARITY.md §6) for dropping the materialize chain. Semantics pinned
+    # equal to the two-kernel path (tests/test_rollout_pallas.py).
+    # Ignored when fuse_derivatives is set (that path's materialize kernel
+    # also emits the linearization). Default off until chip-measured.
+    linesearch_emit_trajectories: bool = False
     # O(log T) associative-scan backward pass (solvers/lqr_parallel.py::
     # ilqr_backward_parallel) — the long-horizon path (reservoir T=500,
     # BASELINE config 4). Uses cost-style Levenberg regularization with

@@ -593,16 +593,24 @@ def _iteration_batched(env: Env, state: _BatchState, config: ILQRConfig, alphas)
         )
 
     use_fused = _use_pallas_rollout(env, state.X, config)
+    emit_traj = use_fused and config.linesearch_emit_trajectories
     with jax.named_scope("ilqr.linesearch"):
         if use_fused:
             from tfmpc_tpu.ops.rollout_pallas import (
                 linesearch_costs_pallas,
+                linesearch_costs_traj_pallas,
                 rollout_alpha_pallas,
+                select_alpha_trajectory,
             )
 
-            J_all = linesearch_costs_pallas(
-                env, state.X, state.U, policy, config.alphas_static()
-            )
+            if emit_traj:
+                J_all, X_alpha, U_alpha = linesearch_costs_traj_pallas(
+                    env, state.X, state.U, policy, config.alphas_static()
+                )
+            else:
+                J_all = linesearch_costs_pallas(
+                    env, state.X, state.U, policy, config.alphas_static()
+                )
         else:
             X_all, U_all, J_all = _linesearch_batched(
                 env, state.X, state.U, policy, alphas
@@ -620,7 +628,13 @@ def _iteration_batched(env: Env, state: _BatchState, config: ILQRConfig, alphas)
     any_accepted = jnp.any(accepted, axis=1)            # [B]
     kkt_pending = env.bounds is not None  # resolved on U_new below
     best = jnp.argmax(accepted, axis=1)                 # [B]
-    if use_fused:
+    if use_fused and emit_traj:
+        # Phase 2 collapsed: the costs kernel already emitted every
+        # candidate trajectory — select, no second rollout chain.
+        X_best, U_best, J_best = select_alpha_trajectory(
+            state.X, X_alpha, U_alpha, J_all, best
+        )
+    elif use_fused:
         # Phase 2: materialize only each scenario's accepted-alpha rollout
         # (bandwidth: one trajectory instead of A).
         X_best, U_best, J_best = rollout_alpha_pallas(
