@@ -76,6 +76,11 @@ run hvac12_profile 3600 python benchmarks/profile_stages.py --env hvac12
 # 5c. HVAC-16 unconverged-lane triage (round-3 VERDICT weak #5).
 run hvac16_triage 2400 python benchmarks/hvac16_investigate.py
 
+# 5d. Single-chain line-search A/B: decides the
+#     ILQRConfig.linesearch_emit_trajectories default by data (the emit
+#     kernel shipped default-off pending exactly this measurement).
+run emit_traj_ab 5400 python benchmarks/emit_traj_ab.py
+
 # 6. Config ladder (regenerates every README table row).
 run suite 5400 python benchmarks/suite.py
 
