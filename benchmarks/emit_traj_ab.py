@@ -127,6 +127,10 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="tiny shapes (CPU smoke test)")
     ap.add_argument("--skip-tb", action="store_true")
+    ap.add_argument("--tb-only", action="store_true",
+                    help="run only the costs_traj TB sweep (pairs with a "
+                         "separate --skip-tb run so a timeout in either "
+                         "step loses less data)")
     args = ap.parse_args()
     quick = args.quick
     if quick:
@@ -134,6 +138,10 @@ def main():
         # (the axon plugin registers in every process — CLAUDE.md) and
         # contends with whatever measurement is in flight there.
         jax.config.update("jax_platforms", "cpu")
+
+    if args.tb_only:
+        _tb_sweep(quick)
+        return
 
     from tfmpc_tpu.models.hvac import make_hvac
     from tfmpc_tpu.models.navigation import make_navigation

@@ -25,7 +25,22 @@ if [ "$health" = "000" ]; then
     echo "tunnel relay down (health=000) — aborting sweep" | tee -a "$LOG"
     exit 2
 fi
-echo "tunnel health=$health; logging to $LOG"
+# The HTTP code alone is not enough: a degraded relay was observed
+# (2026-08-20) answering 404 on /health while every on-chip compute hung
+# indefinitely. Healthy means a real tiny computation round-trips. 180 s
+# covers the occasional slow first compile (verify SKILL.md: usually
+# seconds, occasionally >3 min transient — the caller retries by re-running
+# the sweep/watcher, not by waiting longer here).
+if ! timeout 180 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((8, 8))
+assert float(jnp.sum(x @ x)) == 512.0
+" >/dev/null 2>&1; then
+    echo "tunnel compute probe FAILED (health=$health but an 8x8 matmul" \
+         "did not round-trip in 180 s) — aborting sweep" | tee -a "$LOG"
+    exit 2
+fi
+echo "tunnel health=$health, compute probe ok; logging to $LOG"
 
 # Per-step exit-code ledger (round-3 VERDICT weak #1: the round-3 sweep had
 # 3 of 9 steps fail on chip and the docs reported unqualified success — a
@@ -79,7 +94,14 @@ run hvac16_triage 2400 python benchmarks/hvac16_investigate.py
 # 5d. Single-chain line-search A/B: decides the
 #     ILQRConfig.linesearch_emit_trajectories default by data (the emit
 #     kernel shipped default-off pending exactly this measurement).
-run emit_traj_ab 5400 python benchmarks/emit_traj_ab.py
+#     Budget matches release_check: the step compiles ~8 solve variants
+#     incl. the hvac16 mid-dim config (4-9 min vmapped-scan compiles) and
+#     a reservoir T=500 run — 5400 s was marginal on a cold cache + slow
+#     tunnel (round-4 ADVICE), and a 124 truncation loses the later
+#     configs' data. The TB sweep runs as its own step below so a timeout
+#     in either loses less.
+run emit_traj_ab 7200 python benchmarks/emit_traj_ab.py --skip-tb
+run emit_traj_tb 1800 python benchmarks/emit_traj_ab.py --tb-only
 
 # 6. Config ladder (regenerates every README table row).
 run suite 5400 python benchmarks/suite.py

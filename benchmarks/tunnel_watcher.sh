@@ -34,6 +34,18 @@ health() {
     curl -s -o /dev/null -w "%{http_code}" --max-time 5 http://127.0.0.1:8103/health
 }
 
+# The relay can be up at the HTTP level while on-chip compute hangs
+# (observed 2026-08-20: /health answered 404 for hours while an 8x8 matmul
+# never returned). Health for sweep purposes = a real computation
+# round-trips; otherwise every sweep step would burn its full timeout.
+compute_ok() {
+    PYTHONPATH=/root/.axon_site:/root/repo timeout 180 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((8, 8))
+assert float(jnp.sum(x @ x)) == 512.0
+" >/dev/null 2>&1
+}
+
 DEADLINE=$(( $(date +%s) + 10*3600 ))   # give up after 10 h
 echo "watcher started $(date -u) (pid $$); polling every 60 s for up to 10 h"
 
@@ -48,7 +60,12 @@ while :; do
         sleep 60
         continue
     fi
-    echo "tunnel up (health=$code) at $(date -u)"
+    if ! compute_ok; then
+        echo "relay answers (health=$code) but compute hangs at $(date -u) — re-polling"
+        sleep 120
+        continue
+    fi
+    echo "tunnel up (health=$code, compute probe ok) at $(date -u)"
 
     # Never share the compile cache with a concurrently-running pytest
     # process (CLAUDE.md); wait, don't kill.
