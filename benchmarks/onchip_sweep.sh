@@ -60,9 +60,10 @@ run() {
     fi
 }
 
-# 1. Release gate: all 27 headline claims, incl. mid-dim parity across the
+# 1. Release gate: all 30 headline claims, incl. mid-dim parity across the
 #    whole envelope (16/24/32/48), two >=10x speedups, the rollout-kernel
-#    VMEM-envelope reproducers, and the T=500 fp64-oracle claims (the
+#    VMEM-envelope reproducers, the T=500 fp64-oracle claims, the round-5
+#    full-DDP oracle claims, and the emit-traj AUTO==two-kernel pin (the
 #    longest step: mid-dim scan compiles).
 run release_check 7200 python benchmarks/release_check.py
 
@@ -102,6 +103,10 @@ run hvac16_triage 2400 python benchmarks/hvac16_investigate.py
 #     in either loses less.
 run emit_traj_ab 7200 python benchmarks/emit_traj_ab.py --skip-tb
 run emit_traj_tb 1800 python benchmarks/emit_traj_ab.py --tb-only
+
+# 5e. Full-DDP A/B (round 5): outer iterations + wall per solve, iLQR vs
+#     ddp=True, so the docs quantify where the second-order terms pay.
+run ddp_ab 5400 python benchmarks/ddp_ab.py
 
 # 6. Config ladder (regenerates every README table row).
 run suite 5400 python benchmarks/suite.py

@@ -61,6 +61,22 @@ def main():
         dev < 1e-4,
     ))
 
+    # superset (round 5): full second-order DDP (ILQRConfig.ddp) reaches the
+    # SAME fp64-oracle optimum on the nonlinear navigation problem — the
+    # tensor terms change the iterates, not the fixed point (first-order
+    # conditions are identical; tests/test_ddp.py pins the CPU semantics,
+    # this pins the chip).
+    r_ddp = ilqr.solve(
+        env, jnp.zeros(2), horizon=100,
+        config=ilqr.ILQRConfig(atol=1e-10, max_iterations=200, ddp=True),
+    )
+    dev_ddp = float(np.max(np.abs(np.asarray(r_ddp.actions) - U_np)))
+    checks.append((
+        f"full-DDP control deviation vs fp64 oracle at T=100 <1e-4 "
+        f"(measured {dev_ddp:.2e})",
+        bool(r_ddp.converged) and dev_ddp < 1e-4,
+    ))
+
     # config 3: box-constrained HVAC through the fused kernels
     envh = make_hvac(
         [[0, 1, 0], [1, 0, 1], [0, 1, 0]], is_out=[1, 0, 1], is_hall=[0, 1, 0]
@@ -101,12 +117,16 @@ def main():
     # comparison is not polluted by fp32 cost summation
     from oracles import _hvac_cost_np, _hvac_step_np
 
+    def hvac_cost_fp64(U):
+        U = np.asarray(U, float)
+        x_r, J = np.asarray(x0_3, float), 0.0
+        for t in range(100):
+            J += _hvac_cost_np(p3, x_r, U[t])
+            x_r = _hvac_step_np(p3, x_r, U[t])
+        return J + _hvac_cost_np(p3, x_r, np.zeros(3))
+
     U_s = np.asarray(r3.actions, float)
-    x_r, J_s = np.asarray(x0_3, float), 0.0
-    for t in range(100):
-        J_s += _hvac_cost_np(p3, x_r, U_s[t])
-        x_r = _hvac_step_np(p3, x_r, U_s[t])
-    J_s += _hvac_cost_np(p3, x_r, np.zeros(3))
+    J_s = hvac_cost_fp64(U_s)
     cost_rel = abs(J_s - J_o) / abs(J_o)
     g = hvac_grad_np(p3, x0_3, U_s)
     kkt = float(np.abs(U_s - np.clip(U_s - g, p3["low"], p3["high"])).max())
@@ -119,6 +139,21 @@ def main():
         f"config3b HVAC boxQP KKT residual in fp64 model <5e-3 "
         f"(measured {kkt:.2e})",
         kkt < 5e-3,
+    ))
+
+    # superset (round 5): DDP composes with the boxQP backward — same
+    # fp64-oracle cost on the constrained HVAC problem.
+    r3d = ilqr.solve(
+        env3, jnp.asarray(x0_3), horizon=100,
+        config=ilqr.ILQRConfig(
+            atol=1e-10, max_iterations=300, boxqp=True, ddp=True
+        ),
+    )
+    cost_rel_d = abs(hvac_cost_fp64(r3d.actions) - J_o) / abs(J_o)
+    checks.append((
+        f"full-DDP + boxQP HVAC cost vs fp64 oracle rel dev <1e-5 "
+        f"(measured {cost_rel_d:.2e})",
+        cost_rel_d < 1e-5,
     ))
 
     # lane-kernel parity at its dimension ceiling (n = m = 12): CPU
@@ -425,6 +460,36 @@ def main():
         f"config4 reservoir T=500 KKT residual in fp64 model <2e-2 "
         f"(measured {kkt_r:.2e})",
         kkt_r < 2e-2,
+    ))
+
+    # emit-traj AUTO (round 5): at T=500 the default config resolves the
+    # single-chain line-search layout ON (measured 1.042x over two-kernel,
+    # docs/sweeps/r5_emit_traj.md); pin on chip that the AUTO default equals
+    # the pinned two-kernel layout solve-for-solve.
+    envr = make_reservoir(5)
+    x0rb = jnp.asarray(
+        np.random.default_rng(5).uniform(20, 100, size=(128, 5)).astype("f4")
+    )
+    cfg_auto = ilqr.ILQRConfig(
+        atol=1e-3, max_iterations=10, boxqp=True, use_pallas=True
+    )
+    assert cfg_auto.linesearch_emit_trajectories is None  # AUTO is default
+    r_auto = ilqr.solve_batch(envr, x0rb, horizon=500, config=cfg_auto)
+    r_twok = ilqr.solve_batch(
+        envr, x0rb, horizon=500,
+        config=dataclasses.replace(
+            cfg_auto, linesearch_emit_trajectories=False
+        ),
+    )
+    dev_et = float(jnp.max(
+        jnp.abs(r_auto.total_cost - r_twok.total_cost)
+        / (jnp.abs(r_twok.total_cost) + 1.0)
+    ))
+    checks.append((
+        f"emit-traj AUTO default (T=500) == pinned two-kernel layout "
+        f"(cost rel dev {dev_et:.2e})",
+        dev_et < 1e-5
+        and bool(jnp.all(r_auto.converged == r_twok.converged)),
     ))
 
     # config 5: device-sharded batched solve

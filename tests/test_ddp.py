@@ -1,0 +1,170 @@
+"""Full-DDP mode tests (``ILQRConfig.ddp``).
+
+The reference solver is iLQR-only (SURVEY §2.1 — ``tfmpc/solvers/ilqr.py``
+linearizes the dynamics); ``ddp=True`` is this build's superset that keeps
+the second-order dynamics tensors (Jacobson & Mayne 1970, Tassa et al. 2012
+eqs. 5c-5e). Pinned here:
+
+- ``Env.get_second_order_transition`` returns the true dynamics Hessians
+  (checked against finite differences of the Jacobians and symmetry).
+- On LINEAR dynamics the tensor terms vanish, so DDP == iLQR exactly.
+- On nonlinear dynamics DDP converges to the same optimum as iLQR.
+- ``solve_batch(ddp=True)`` == vmap of single-scenario DDP (the repo-wide
+  batched-equals-single invariant).
+- DDP composes with boxQP; ddp + parallel_backward raises at trace time.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfmpc_tpu.models.hvac import make_hvac
+from tfmpc_tpu.models.navigation import make_navigation
+from tfmpc_tpu.solvers import ilqr
+
+
+GOAL = [8.0, -5.0]
+ZONE = {"center": [[3.0, -2.0]], "decay": [2.0]}
+
+
+@pytest.fixture
+def env():
+    return make_navigation(goal=GOAL, deceleration=ZONE, dtype=jnp.float64)
+
+
+@pytest.fixture
+def linear_env():
+    return make_navigation(goal=GOAL, dtype=jnp.float64)
+
+
+DDP = ilqr.ILQRConfig(atol=1e-8, max_iterations=100, ddp=True)
+ILQR = ilqr.ILQRConfig(atol=1e-8, max_iterations=100)
+
+
+class TestSecondOrderModel:
+    def test_shapes(self, env):
+        x = jnp.asarray([1.0, -2.0], jnp.float64)
+        u = jnp.asarray([0.3, 0.1], jnp.float64)
+        s = env.get_second_order_transition(x, u)
+        assert s.f_xx.shape == (2, 2, 2)
+        assert s.f_ux.shape == (2, 2, 2)
+        assert s.f_uu.shape == (2, 2, 2)
+
+    def test_matches_finite_difference_of_jacobians(self, env):
+        """f_xx / f_ux against central differences of f_x / f_u in x."""
+        x = jnp.asarray([2.0, -1.5], jnp.float64)
+        u = jnp.asarray([0.4, -0.2], jnp.float64)
+        s = env.get_second_order_transition(x, u)
+        eps = 1e-6
+        for a in range(2):
+            dx = jnp.zeros(2, jnp.float64).at[a].set(eps)
+            lp = env.get_linear_transition(x + dx, u)
+            lm = env.get_linear_transition(x - dx, u)
+            fd_fxx = (lp.f_x - lm.f_x) / (2 * eps)   # [n, n] = d f_x / dx_a
+            fd_fux = (lp.f_u - lm.f_u) / (2 * eps)   # [n, m] = d f_u / dx_a
+            np.testing.assert_allclose(
+                np.asarray(s.f_xx[:, :, a]), np.asarray(fd_fxx), atol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(s.f_ux[:, :, a]), np.asarray(fd_fux), atol=1e-6
+            )
+
+    def test_symmetry_and_linear_case(self, env, linear_env):
+        x = jnp.asarray([0.5, 0.7], jnp.float64)
+        u = jnp.asarray([0.1, 0.2], jnp.float64)
+        s = env.get_second_order_transition(x, u)
+        np.testing.assert_allclose(
+            np.asarray(s.f_xx), np.asarray(jnp.swapaxes(s.f_xx, 1, 2))
+        )
+        # x' = x + u is linear in u: f_uu must be exactly zero everywhere.
+        s_lin = linear_env.get_second_order_transition(x, u)
+        assert float(jnp.max(jnp.abs(s_lin.f_xx))) == 0.0
+        assert float(jnp.max(jnp.abs(s_lin.f_ux))) == 0.0
+        assert float(jnp.max(jnp.abs(s_lin.f_uu))) == 0.0
+
+    def test_batch_axis(self, env):
+        X = jnp.asarray(
+            np.random.default_rng(0).uniform(-3, 3, size=(7, 2)), jnp.float64
+        )
+        U = jnp.asarray(
+            0.2 * np.random.default_rng(1).standard_normal((7, 2)), jnp.float64
+        )
+        sb = env.get_second_order_transition(X, U, batch=True)
+        s0 = env.get_second_order_transition(X[3], U[3])
+        assert sb.f_xx.shape == (7, 2, 2, 2)
+        np.testing.assert_allclose(np.asarray(sb.f_uu[3]), np.asarray(s0.f_uu))
+
+
+class TestDDPSolve:
+    def test_equals_ilqr_on_linear_dynamics(self, linear_env):
+        """Zero dynamics Hessians -> the DDP backward is the iLQR backward."""
+        x0 = jnp.asarray([1.0, 2.0], jnp.float64)
+        r_ddp = ilqr.solve(linear_env, x0, horizon=30, config=DDP)
+        r_ilqr = ilqr.solve(linear_env, x0, horizon=30, config=ILQR)
+        np.testing.assert_allclose(
+            np.asarray(r_ddp.actions), np.asarray(r_ilqr.actions),
+            rtol=1e-12, atol=1e-12,
+        )
+        assert int(r_ddp.iterations) == int(r_ilqr.iterations)
+
+    def test_same_optimum_nonlinear(self, env):
+        x0 = jnp.asarray([-4.0, 3.0], jnp.float64)
+        r_ddp = ilqr.solve(env, x0, horizon=40, config=DDP)
+        r_ilqr = ilqr.solve(env, x0, horizon=40, config=ILQR)
+        assert bool(r_ddp.converged)
+        assert bool(r_ilqr.converged)
+        rel = abs(float(r_ddp.total_cost) - float(r_ilqr.total_cost)) / (
+            1 + abs(float(r_ilqr.total_cost))
+        )
+        assert rel < 1e-6
+
+    def test_batch_matches_single(self, env):
+        x0s = jnp.asarray(
+            np.random.default_rng(2).uniform(-6, 6, size=(4, 2)), jnp.float64
+        )
+        resb = ilqr.solve_batch(env, x0s, horizon=25, config=DDP)
+        for i in range(4):
+            res1 = ilqr.solve(env, x0s[i], horizon=25, config=DDP)
+            np.testing.assert_allclose(
+                np.asarray(resb.actions[i]), np.asarray(res1.actions),
+                rtol=1e-9, atol=1e-9,
+            )
+            assert bool(resb.converged[i]) == bool(res1.converged)
+
+    def test_composes_with_boxqp(self):
+        env = make_hvac([[0, 1], [1, 0]], dtype=jnp.float64)
+        x0 = jnp.broadcast_to(
+            env.temp_low - 5.0, (3, env.state_size)
+        ).astype(jnp.float64)
+        cfg = ilqr.ILQRConfig(
+            atol=1e-6, max_iterations=60, ddp=True, boxqp=True
+        )
+        res = ilqr.solve_batch(env, x0, horizon=20, config=cfg)
+        lo, hi = env.bounds.low, env.bounds.high
+        assert bool(jnp.all(res.actions >= lo - 1e-12))
+        assert bool(jnp.all(res.actions <= hi + 1e-12))
+        assert bool(jnp.all(jnp.isfinite(res.total_cost)))
+
+    def test_parallel_backward_excluded(self, env):
+        cfg = ilqr.ILQRConfig(ddp=True, parallel_backward=True)
+        x0 = jnp.zeros(2, jnp.float64)
+        with pytest.raises(ValueError, match="parallel_backward"):
+            ilqr.solve(env, x0, horizon=10, config=cfg)
+
+    def test_kernel_mode_ineligible(self, env):
+        """ddp routes the backward off the fused kernels (they contract
+        first-order tensors only)."""
+        from tfmpc_tpu.solvers.ilqr_batched import _riccati_kernel_mode
+        from tfmpc_tpu.core.types import LinearModel
+
+        B, T, n = 128, 4, 2
+        z = jnp.zeros((B, T, n), jnp.float32)
+        lin = LinearModel(
+            f=z, f_x=jnp.zeros((B, T, n, n), jnp.float32),
+            f_u=jnp.zeros((B, T, n, n), jnp.float32),
+        )
+        base = ilqr.ILQRConfig(use_pallas=True)
+        assert _riccati_kernel_mode(lin, base) is not None
+        ddp_cfg = ilqr.ILQRConfig(use_pallas=True, ddp=True)
+        assert _riccati_kernel_mode(lin, ddp_cfg) is None

@@ -417,3 +417,24 @@ def test_time_blocked_costs_match_per_step(rng):
     J1 = linesearch_costs_pallas(env, X, U, policy, alphas, time_block=1)
     J2 = linesearch_costs_pallas(env, X, U, policy, alphas, time_block=2)
     np.testing.assert_allclose(np.asarray(J2), np.asarray(J1), rtol=1e-6)
+
+
+def test_emit_trajectories_auto_resolution():
+    """AUTO (None, the default) turns the single-chain emit layout on only
+    at long horizons — the chip A/B measured it losing at T=100 and
+    winning at T=500 (docs/sweeps/r5_emit_traj.md); explicit True/False
+    pins either layout regardless of T."""
+    from tfmpc_tpu.solvers.ilqr_batched import (
+        _EMIT_TRAJ_AUTO_MIN_T,
+        _resolve_emit_traj,
+    )
+
+    auto = ilqr.ILQRConfig()
+    assert auto.linesearch_emit_trajectories is None
+    assert not _resolve_emit_traj(auto, 100)
+    assert _resolve_emit_traj(auto, 500)
+    assert _resolve_emit_traj(auto, _EMIT_TRAJ_AUTO_MIN_T)
+    assert not _resolve_emit_traj(auto, _EMIT_TRAJ_AUTO_MIN_T - 1)
+    on = ilqr.ILQRConfig(linesearch_emit_trajectories=True)
+    off = ilqr.ILQRConfig(linesearch_emit_trajectories=False)
+    assert _resolve_emit_traj(on, 4) and not _resolve_emit_traj(off, 500)

@@ -14,6 +14,7 @@ from tfmpc_tpu.core.types import (
     Policy,
     QuadraticFinal,
     QuadraticModel,
+    SecondOrderModel,
     ValueFunction,
 )
 from tfmpc_tpu.models.base import Env
@@ -47,6 +48,7 @@ __all__ = [
     "QuadraticFinal",
     "QuadraticModel",
     "Reservoir",
+    "SecondOrderModel",
     "Trajectory",
     "ValueFunction",
     "checkpoint",

@@ -213,6 +213,12 @@ def lqr(state_size, action_size, horizon, seed, x0_scale, parallel,
                    "compile attempt.")
 @click.option("--parallel-backward", is_flag=True, default=False,
               help="O(log T) associative-scan backward pass (long horizons).")
+@click.option("--ddp", "ddp_flag", is_flag=True, default=False,
+              help="Full DDP backward: keep the second-order dynamics "
+                   "tensors the reference's iLQR drops (quadratic local "
+                   "convergence; one extra Hessian sweep per iteration; "
+                   "routes the backward off the fused Riccati kernels and "
+                   "excludes --parallel-backward).")
 @click.option("--time-workers", default=1, show_default=True, type=int,
               help="Shard the HORIZON over this many devices (sequence "
                    "parallelism; implies --parallel-backward and disables "
@@ -222,7 +228,7 @@ def lqr(state_size, action_size, horizon, seed, x0_scale, parallel,
                    "2-D (data, time) mesh.")
 def ilqr(env_path, horizon, atol, max_iterations, x0_json, num_samples,
          num_workers, seed, logdir, boxqp_flag, pallas_flag,
-         parallel_backward, time_workers):
+         parallel_backward, ddp_flag, time_workers):
     """Solve a differentiable env from a JSON config with iLQR.
 
     Reference analogue: ``tfmpc ilqr`` (SURVEY §3.1).
@@ -261,10 +267,16 @@ def ilqr(env_path, horizon, atol, max_iterations, x0_json, num_samples,
 
     if boxqp_flag is None:
         boxqp_flag = env.bounds is not None
+    if ddp_flag and (parallel_backward or time_workers > 1):
+        raise click.UsageError(
+            "--ddp is incompatible with --parallel-backward/--time-workers "
+            "(the associative-scan backward composes linear value-recursion "
+            "elements; see ILQRConfig.ddp)"
+        )
     config = build_ilqr_config(
         atol=atol, max_iterations=max_iterations,
         boxqp=boxqp_flag, use_pallas=pallas_flag,
-        parallel_backward=parallel_backward,
+        parallel_backward=parallel_backward, ddp=ddp_flag,
     )
     trace_iters = logger.isEnabledFor(logging.INFO)
 

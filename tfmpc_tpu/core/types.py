@@ -109,6 +109,28 @@ class LinearModel:
 
 
 @pytree_dataclass
+class SecondOrderModel:
+    """Time-batched second-order dynamics tensors around a nominal trajectory.
+
+    The full-DDP extension of ``LinearModel`` (Jacobson & Mayne 1970; Tassa
+    et al. 2012 eqs. 5a-5e include these terms, iLQR drops them). The
+    reference solver is iLQR-only (``tfmpc/solvers/ilqr.py``, SURVEY §2.1),
+    so these tensors exist only in this superset (``ILQRConfig.ddp``).
+
+    Index convention: leading axis is the transition OUTPUT component ``i``;
+    the backward pass contracts it with the value gradient ``v_x``.
+
+      f_xx: [..., T, n, n, n]  f_xx[i, a, b] = d^2 f_i / dx_a dx_b
+      f_ux: [..., T, n, m, n]  f_ux[i, j, a] = d^2 f_i / du_j dx_a
+      f_uu: [..., T, n, m, m]  f_uu[i, j, k] = d^2 f_i / du_j du_k
+    """
+
+    f_xx: jax.Array
+    f_ux: jax.Array
+    f_uu: jax.Array
+
+
+@pytree_dataclass
 class QuadraticModel:
     """Time-batched quadratic cost model around a nominal trajectory.
 

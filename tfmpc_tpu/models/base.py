@@ -29,6 +29,7 @@ from tfmpc_tpu.core.types import (
     LinearModel,
     QuadraticFinal,
     QuadraticModel,
+    SecondOrderModel,
     pytree_dataclass,
 )
 
@@ -94,6 +95,29 @@ class Env:
         l_uu = jax.jacfwd(grad_u, argnums=1)(x, u)
         l_ux = jax.jacfwd(grad_u, argnums=0)(x, u)
         return QuadraticModel(l=l, l_x=l_x, l_u=l_u, l_xx=l_xx, l_uu=l_uu, l_ux=l_ux)
+
+    def get_second_order_transition(
+        self, x: jax.Array, u: jax.Array, batch: bool = False
+    ) -> SecondOrderModel:
+        """Second-order model of the dynamics at ``(x, u)`` (full DDP).
+
+        Forward-over-forward autodiff (``jacfwd(jacfwd)``) — optimal at these
+        tiny input dims, same rationale as ``get_linear_transition``. The
+        reference ``DiffEnv`` has no such method (its solver is iLQR-only,
+        SURVEY §2.1); this feeds the ``ILQRConfig.ddp`` superset, which
+        contracts the tensors with the value gradient in the backward pass.
+        ``batch=True`` maps over a leading time/scenario axis.
+        """
+        if batch:
+            return jax.vmap(
+                lambda a, b: self.get_second_order_transition(a, b)
+            )(x, u)
+        jac_x = jax.jacfwd(self.transition, argnums=0)
+        jac_u = jax.jacfwd(self.transition, argnums=1)
+        f_xx = jax.jacfwd(jac_x, argnums=0)(x, u)   # [n, n, n]
+        f_ux = jax.jacfwd(jac_u, argnums=0)(x, u)   # [n, m, n]
+        f_uu = jax.jacfwd(jac_u, argnums=1)(x, u)   # [n, m, m]
+        return SecondOrderModel(f_xx=f_xx, f_ux=f_ux, f_uu=f_uu)
 
     def get_quadratic_final_cost(self, x: jax.Array) -> QuadraticFinal:
         """Second-order model of the final cost at ``x``."""

@@ -65,6 +65,21 @@ class ILQRConfig:
     # reference only clips [MED]; this is the superset mode (SURVEY §2.1).
     boxqp: bool = False
     boxqp_iters: int = 8
+    # Full Differential Dynamic Programming (Jacobson & Mayne 1970): keep the
+    # SECOND-order dynamics terms the reference's iLQR drops (SURVEY §2.1 —
+    # reference ``tfmpc/solvers/ilqr.py`` linearizes dynamics only). The
+    # backward pass adds ``v_x . f_xx / f_ux / f_uu`` contractions
+    # (Tassa et al. 2012 eqs. 5c-5e, including the regularized Q-blocks) from
+    # ``Env.get_second_order_transition`` — quadratic convergence near the
+    # optimum at the price of one extra jacfwd sweep per iteration and a
+    # possibly-indefinite Q_uu far from it (handled by the existing mu
+    # restart loop). Composes with ``boxqp``. Exclusions, enforced at trace
+    # time (``backward`` raises): ``parallel_backward`` (the associative-scan
+    # value recursion composes LINEAR elements; tensor contractions through
+    # v_x break the monoid) and the fused Riccati kernels (the backward
+    # falls back to the XLA scan — the rollout/line-search kernels still
+    # run, so ``use_pallas`` remains worthwhile).
+    ddp: bool = False
     # Route the batched backward pass through the fused Pallas time-stepping
     # kernel (ops/riccati_pallas.py) where eligible (TPU, small n/m,
     # unconstrained backward). Ignored by the single-scenario path.
@@ -82,7 +97,7 @@ class ILQRConfig:
     # pipeline level. Kept as an option for larger-dim lane_derivatives
     # envs where the tradeoff may flip.
     fuse_derivatives: bool = False
-    # EXPERIMENTAL. With use_pallas, the line-search kernel also emits the
+    # With use_pallas, the line-search kernel also emits the
     # all-alpha candidate trajectories (ops/rollout_pallas.py::
     # linesearch_costs_traj_pallas), so the accepted trajectory becomes a
     # cheap XLA select instead of a second serial T-chain rollout
@@ -92,8 +107,17 @@ class ILQRConfig:
     # PARITY.md §6) for dropping the materialize chain. Semantics pinned
     # equal to the two-kernel path (tests/test_rollout_pallas.py).
     # Ignored when fuse_derivatives is set (that path's materialize kernel
-    # also emits the linearization). Default off until chip-measured.
-    linesearch_emit_trajectories: bool = False
+    # also emits the linearization).
+    # Default None = AUTO by horizon, set by the round-5 chip A/B
+    # (benchmarks/emit_traj_ab.py, docs/sweeps/r5_emit_traj.md): the
+    # single-chain layout LOSES at T=100 (nav headline 0.90x — the emit
+    # kernel's heavy buffered stores cap its time block at 2 vs the costs
+    # kernel's 10), TIES at T<=100 boxQP configs (0.98x/1.00x), and WINS
+    # at T=500 (reservoir boxQP 1.04x, where dropping the second serial
+    # 500-step chain outweighs the slower per-step stores). AUTO enables
+    # it from T >= _EMIT_TRAJ_AUTO_MIN_T (250, the measured-crossover
+    # midpoint); pass True/False to pin either layout.
+    linesearch_emit_trajectories: Optional[bool] = None
     # O(log T) associative-scan backward pass (solvers/lqr_parallel.py::
     # ilqr_backward_parallel) — the long-horizon path (reservoir T=500,
     # BASELINE config 4). Uses cost-style Levenberg regularization with
@@ -251,7 +275,8 @@ def derivatives(env: Env, X: jax.Array, U: jax.Array):
     return lin, quad, final
 
 
-def backward(lin, quad, final, mu, config: ILQRConfig, bounds=None, Ubar=None):
+def backward(lin, quad, final, mu, config: ILQRConfig, bounds=None, Ubar=None,
+             second=None):
     """Regularized Riccati backward pass over the linearized models.
 
     Returns ``(ok, policy, dV1, dV2)``. ``ok`` is False when any step's
@@ -265,10 +290,22 @@ def backward(lin, quad, final, mu, config: ILQRConfig, bounds=None, Ubar=None):
     Q-minimization is the box-constrained QP of control-limited DDP: ``k_t``
     from projected Newton within ``[low - ubar_t, high - ubar_t]`` and the
     clamped rows of ``K_t`` zeroed (ops/boxqp.py).
+
+    With ``second`` (a ``SecondOrderModel``, [T]-leading), the full-DDP
+    contractions ``v_x . f_xx / f_ux / f_uu`` are added to the Q-blocks —
+    both the unregularized ones and the regularized ``Q̃uu``/``Q̃ux`` (Tassa
+    2012 eqs. 5c-5e put the tensor terms in both; mu enters only through V').
     """
     n = lin.f_x.shape[-1]
     use_boxqp = config.boxqp and bounds is not None and Ubar is not None
     if config.parallel_backward:
+        if second is not None:
+            raise ValueError(
+                "ddp=True is incompatible with parallel_backward=True: the "
+                "associative-scan backward composes LINEAR value-recursion "
+                "elements, and the DDP tensor terms depend on v_x mid-"
+                "recursion (see ILQRConfig.ddp)."
+            )
         if use_boxqp:
             from tfmpc_tpu.solvers.lqr_parallel import (
                 ilqr_backward_parallel_boxqp,
@@ -289,9 +326,15 @@ def backward(lin, quad, final, mu, config: ILQRConfig, bounds=None, Ubar=None):
     if use_boxqp:
         from tfmpc_tpu.ops.boxqp import boxqp as _boxqp, solve_free_system
 
+    use_ddp = second is not None
+
     def step(carry, inputs):
         V_xx, v_x, dV1, dV2, any_fail = carry
-        f_x, f_u, l_x, l_u, l_xx, l_uu, l_ux, u_bar = inputs
+        if use_ddp:
+            (f_x, f_u, l_x, l_u, l_xx, l_uu, l_ux, u_bar,
+             f_xx2, f_ux2, f_uu2) = inputs
+        else:
+            f_x, f_u, l_x, l_u, l_xx, l_uu, l_ux, u_bar = inputs
 
         V_reg = V_xx + mu * jnp.eye(n, dtype=V_xx.dtype)
 
@@ -305,6 +348,19 @@ def backward(lin, quad, final, mu, config: ILQRConfig, bounds=None, Ubar=None):
         Q_ux = l_ux + fuT_V @ f_x
         Quu_reg = l_uu + fuT_Vreg @ f_u
         Qux_reg = l_ux + fuT_Vreg @ f_x
+
+        if use_ddp:
+            # Full-DDP tensor terms (Tassa 2012 eqs. 5c-5e): contract the
+            # next value gradient with the dynamics Hessians. mu enters only
+            # through V', so the same terms go into the regularized blocks.
+            vdot = lambda t: jnp.tensordot(v_x, t, axes=([0], [0]))
+            t_uu = vdot(f_uu2)
+            t_ux = vdot(f_ux2)
+            Q_xx = Q_xx + vdot(f_xx2)
+            Q_uu = Q_uu + t_uu
+            Q_ux = Q_ux + t_ux
+            Quu_reg = Quu_reg + t_uu
+            Qux_reg = Qux_reg + t_ux
 
         chol = jnp.linalg.cholesky(Quu_reg)
         fail = ~jnp.all(jnp.isfinite(chol))
@@ -342,6 +398,8 @@ def backward(lin, quad, final, mu, config: ILQRConfig, bounds=None, Ubar=None):
         lin.f_x, lin.f_u, quad.l_x, quad.l_u, quad.l_xx, quad.l_uu, quad.l_ux,
         Ubar,
     )
+    if use_ddp:
+        inputs = inputs + (second.f_xx, second.f_ux, second.f_uu)
     (_, _, dV1, dV2, any_fail), (K, k) = jax.lax.scan(
         step, init, inputs, reverse=True
     )
@@ -349,7 +407,8 @@ def backward(lin, quad, final, mu, config: ILQRConfig, bounds=None, Ubar=None):
 
 
 def backward_with_restarts(
-    lin, quad, final, mu, delta, config: ILQRConfig, bounds=None, Ubar=None
+    lin, quad, final, mu, delta, config: ILQRConfig, bounds=None, Ubar=None,
+    second=None,
 ):
     """Backward pass wrapped in the reference's restart-on-non-PD loop.
 
@@ -359,7 +418,8 @@ def backward_with_restarts(
     """
 
     def attempt(mu):
-        return backward(lin, quad, final, mu, config, bounds=bounds, Ubar=Ubar)
+        return backward(lin, quad, final, mu, config, bounds=bounds,
+                        Ubar=Ubar, second=second)
 
     ok0, policy0, dV10, dV20 = attempt(mu)
 
@@ -414,10 +474,14 @@ def _iteration(env: Env, state: _LoopState, config: ILQRConfig, alphas):
     """
     with jax.named_scope("ilqr.derivatives"):
         lin, quad, final = derivatives(env, state.X, state.U)
+        second = (
+            env.get_second_order_transition(state.X[:-1], state.U, batch=True)
+            if getattr(config, "ddp", False) else None
+        )
     with jax.named_scope("ilqr.backward"):
         ok, policy, dV1, dV2, mu, delta = backward_with_restarts(
             lin, quad, final, state.mu, state.delta, config,
-            bounds=env.bounds, Ubar=state.U,
+            bounds=env.bounds, Ubar=state.U, second=second,
         )
 
     # Parallel line search over the whole alpha grid (SURVEY §7.1 decision 4).

@@ -90,13 +90,22 @@ def _derivatives_batched(env: Env, X, U):
     return jax.vmap(lambda x, u: derivatives(env, x, u))(X, U)
 
 
-def _backward_batched(lin, quad, final, mu, config: ILQRConfig, bounds, Ubar):
+def _backward_batched(lin, quad, final, mu, config: ILQRConfig, bounds, Ubar,
+                      second=None):
     """Batched regularized Riccati backward: [B] scenarios at once.
 
     Default path: vmap of the single-scenario scan. Pallas path
     (``config.use_pallas``): the fused time-stepping kernel in
     ops/riccati_pallas.py (unconstrained small-n problems on TPU).
+    With ``second`` (full DDP, config.ddp) the fused kernels are ineligible
+    (_riccati_kernel_mode) and the vmap path threads the tensors through.
     """
+    if second is not None:
+        return jax.vmap(
+            lambda l, q, f, m, u, s: backward(
+                l, q, f, m, config, bounds=bounds, Ubar=u, second=s
+            )
+        )(lin, quad, final, mu, Ubar, second)
     mode = _riccati_kernel_mode(lin, config)
     if mode == "lane":
         if config.boxqp and bounds is not None:
@@ -146,6 +155,8 @@ def _riccati_kernel_mode(lin, config: ILQRConfig):
         return None
     if getattr(config, "parallel_backward", False):
         return None  # the associative-scan path owns the backward pass
+    if getattr(config, "ddp", False):
+        return None  # kernels don't implement the DDP tensor contractions
     B = lin.f_x.shape[0]
     n = lin.f_x.shape[-1]
     m = lin.f_u.shape[-1]
@@ -199,7 +210,8 @@ _RESTART_SUB_BATCH = 128  # gathered-retry width; keeps the kernels eligible
 
 
 def _backward_restarts_batched(
-    lin, quad, final, mu, delta, config: ILQRConfig, bounds, Ubar
+    lin, quad, final, mu, delta, config: ILQRConfig, bounds, Ubar,
+    second=None,
 ):
     """Per-scenario restart-on-non-PD loop, batch-wide (masked merges).
 
@@ -212,7 +224,8 @@ def _backward_restarts_batched(
     """
 
     def attempt(mu):
-        return _backward_batched(lin, quad, final, mu, config, bounds, Ubar)
+        return _backward_batched(lin, quad, final, mu, config, bounds, Ubar,
+                                 second=second)
 
     R = _RESTART_SUB_BATCH
     if mu.shape[0] <= R:
@@ -225,6 +238,8 @@ def _backward_restarts_batched(
             jax.tree_util.tree_map(sub, quad),
             jax.tree_util.tree_map(sub, final),
             mu_sub, config, bounds, sub(Ubar),
+            second=(None if second is None
+                    else jax.tree_util.tree_map(sub, second)),
         )
 
     return _restart_loop_compacted(attempt, attempt_sub, mu, delta, config, R)
@@ -346,6 +361,8 @@ def _use_fused_derivs(env: Env, config: ILQRConfig, B: int) -> bool:
         return False
     if getattr(config, "parallel_backward", False):
         return False
+    if getattr(config, "ddp", False):
+        return False  # the materialize kernel emits first-order tensors only
     if B % 128 != 0:
         return False
     dim_limit = 8 if jax.default_backend() == "cpu" else 12
@@ -577,6 +594,24 @@ def _use_pallas_rollout(env: Env, X, config: ILQRConfig) -> bool:
     )
 
 
+# Horizon from which AUTO (linesearch_emit_trajectories=None) turns the
+# single-chain emit-trajectories line search on: midpoint of the measured
+# crossover (chip A/B, docs/sweeps/r5_emit_traj.md — loses 0.90x at T=100,
+# wins 1.04x at T=500; see the ILQRConfig field docstring).
+_EMIT_TRAJ_AUTO_MIN_T = 250
+
+
+def _resolve_emit_traj(config: ILQRConfig, horizon: int) -> bool:
+    """Resolve the tri-state emit-trajectories flag at trace time.
+
+    ``horizon`` is a static shape, so AUTO costs nothing under jit.
+    """
+    flag = getattr(config, "linesearch_emit_trajectories", None)
+    if flag is not None:
+        return bool(flag)
+    return horizon >= _EMIT_TRAJ_AUTO_MIN_T
+
+
 def _iteration_batched(env: Env, state: _BatchState, config: ILQRConfig, alphas):
     active = (
         (state.iteration < config.max_iterations)
@@ -586,14 +621,20 @@ def _iteration_batched(env: Env, state: _BatchState, config: ILQRConfig, alphas)
 
     with jax.named_scope("ilqr.derivatives"):
         lin, quad, final = _derivatives_batched(env, state.X, state.U)
+        second = (
+            jax.vmap(
+                lambda x, u: env.get_second_order_transition(x, u, batch=True)
+            )(state.X[:, :-1], state.U)
+            if getattr(config, "ddp", False) else None
+        )
     with jax.named_scope("ilqr.backward"):
         ok, policy, dV1, dV2, mu, delta = _backward_restarts_batched(
             lin, quad, final, state.mu, state.delta, config,
-            env.bounds, state.U,
+            env.bounds, state.U, second=second,
         )
 
     use_fused = _use_pallas_rollout(env, state.X, config)
-    emit_traj = use_fused and config.linesearch_emit_trajectories
+    emit_traj = use_fused and _resolve_emit_traj(config, state.U.shape[1])
     with jax.named_scope("ilqr.linesearch"):
         if use_fused:
             from tfmpc_tpu.ops.rollout_pallas import (
