@@ -21,6 +21,7 @@ import pytest
 
 from tfmpc_tpu.models.hvac import make_hvac
 from tfmpc_tpu.models.navigation import make_navigation
+from tfmpc_tpu.models.reservoir import make_reservoir
 from tfmpc_tpu.solvers import ilqr
 
 
@@ -68,6 +69,51 @@ class TestSecondOrderModel:
             )
             np.testing.assert_allclose(
                 np.asarray(s.f_ux[:, :, a]), np.asarray(fd_fux), atol=1e-6
+            )
+
+    @pytest.mark.parametrize(
+        "factory",
+        [
+            # complementary nonlinearity patterns: navigation has f_xx AND
+            # f_ux (x' = x + lambda(x) u), HVAC is bilinear (f_ux only),
+            # reservoir's evaporation is nonlinear in x alone (f_xx only)
+            lambda: make_navigation(goal=GOAL, deceleration=ZONE,
+                                    dtype=jnp.float64),
+            lambda: make_hvac([[0, 1, 0], [1, 0, 1], [0, 1, 0]],
+                              dtype=jnp.float64),
+            lambda: make_reservoir(3, dtype=jnp.float64),
+        ],
+        ids=["navigation", "hvac", "reservoir"],
+    )
+    def test_all_env_families_match_finite_difference(self, factory):
+        env = factory()
+        n, m = env.state_size, env.action_size
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.uniform(10, 20, size=n), jnp.float64)
+        u = jnp.asarray(rng.uniform(0.5, 1.5, size=m), jnp.float64)
+        if env.bounds is not None:
+            u = env.clip(u)
+        s = env.get_second_order_transition(x, u)
+        eps = 1e-6
+        for a in range(n):
+            dx = jnp.zeros(n, jnp.float64).at[a].set(eps)
+            lp = env.get_linear_transition(x + dx, u)
+            lm = env.get_linear_transition(x - dx, u)
+            np.testing.assert_allclose(
+                np.asarray(s.f_xx[:, :, a]),
+                np.asarray((lp.f_x - lm.f_x) / (2 * eps)), atol=1e-5,
+            )
+            np.testing.assert_allclose(
+                np.asarray(s.f_ux[:, :, a]),
+                np.asarray((lp.f_u - lm.f_u) / (2 * eps)), atol=1e-5,
+            )
+        for j in range(m):
+            du = jnp.zeros(m, jnp.float64).at[j].set(eps)
+            lp = env.get_linear_transition(x, u + du)
+            lm = env.get_linear_transition(x, u - du)
+            np.testing.assert_allclose(
+                np.asarray(s.f_uu[:, :, j]),
+                np.asarray((lp.f_u - lm.f_u) / (2 * eps)), atol=1e-5,
             )
 
     def test_symmetry_and_linear_case(self, env, linear_env):

@@ -136,11 +136,18 @@ def _rollout_plan(kind: str, B: int, T: int, n: int, m: int, A: int,
     pin TB parity): only the limit adapts.
     """
     BB = _choose_bb(B)
-    # Heavy-store kernels prefer tiny time blocks: the derivs variant
+    # Heavy-store kernels prefer tiny time blocks. The derivs variant
     # buffers ~(n+m+d) output rows per timestep and measured fastest at
-    # TB=2 (1.45/1.20/1.76/1.89 ms at TB 1/2/5/10, chip); costs_traj
-    # buffers A*(n+m) rows per timestep — even more at the default
-    # 11-alpha grid — so it gets the same limit.
+    # TB=2 (1.45/1.20/1.76/1.89 ms at TB 1/2/5/10, chip). costs_traj
+    # (A*(n+m) buffered rows/step) was re-litigated round 5 with SOLVE-level
+    # chip A/Bs after an isolated-kernel TB sweep at nav shapes suggested
+    # TB=10 (docs/sweeps/r5_emit_traj_tb10.md): lifting the cap to 10
+    # REGRESSED every config that actually uses the emit path — reservoir
+    # T=500 1.042x -> 1.001x vs two-kernel, hvac6 0.983 -> 0.970, hvac16
+    # 0.997 -> 0.980 — and only helped nav n=2 (0.909 -> 0.978), where AUTO
+    # keeps emit off anyway. Isolated-kernel timings mislead here exactly
+    # as per-stage timings do (CLAUDE.md); the cap stays 2 on solve-level
+    # data. Don't re-lift without a solve-level win at T>=250 shapes.
     tb_limit = 2 if kind in ("derivs", "costs_traj") else 10
     if time_block is not None:
         TB = time_block
