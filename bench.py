@@ -95,8 +95,11 @@ def main():
     # body), synchronized by a single host fetch per dispatch. The remote
     # dispatch latency is tens of ms and time-varying (measured 35-100 ms
     # across sessions) — per-solve dispatching would measure the tunnel,
-    # not the chip (CLAUDE.md perf findings).
-    REPS = 8
+    # not the chip (CLAUDE.md perf findings). At 8 solves/dispatch ~15% of
+    # the window was STILL tunnel (362.9k vs 433k at 30-deep amortization,
+    # 2026-08-20 A/B); 32 puts ~360 ms of compute behind each dispatch so
+    # the number is the chip to within a few percent.
+    REPS = 32
     env_r = pmesh.replicate(env, mesh)
     x0_s = pmesh.shard_batch(x0, mesh)
 
