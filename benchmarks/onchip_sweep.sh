@@ -104,10 +104,6 @@ run hvac16_triage 2400 python benchmarks/hvac16_investigate.py
 run emit_traj_ab 7200 python benchmarks/emit_traj_ab.py --skip-tb
 run emit_traj_tb 1800 python benchmarks/emit_traj_ab.py --tb-only
 
-# 5e. Full-DDP A/B (round 5): outer iterations + wall per solve, iLQR vs
-#     ddp=True, so the docs quantify where the second-order terms pay.
-run ddp_ab 5400 python benchmarks/ddp_ab.py
-
 # 6. Config ladder (regenerates every README table row).
 run suite 5400 python benchmarks/suite.py
 
@@ -115,6 +111,13 @@ run suite 5400 python benchmarks/suite.py
 #    there — record what it costs (reduced batch: ~5 B*T*d^2 fp32 inputs).
 run largedim_scan 3600 python benchmarks/middim_bench.py \
     --scan-only --dims 64,96 --batch 256
+
+# 8. Full-DDP A/B (round 5): outer iterations + wall per solve, iLQR vs
+#    ddp=True, so the docs quantify where the second-order terms pay.
+#    LAST on purpose: its first run coincided with a TPU-worker crash
+#    (2026-08-20, likely the degraded relay, unproven) — if it wedges the
+#    chip it must not cost the ladder steps.
+run ddp_ab 5400 python benchmarks/ddp_ab.py
 
 # FAIL summary — visible in the log AND in the exit code, so a failed step
 # can never read as "covered everything" downstream.
