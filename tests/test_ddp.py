@@ -192,6 +192,30 @@ class TestDDPSolve:
         assert bool(jnp.all(res.actions <= hi + 1e-12))
         assert bool(jnp.all(jnp.isfinite(res.total_cost)))
 
+    def test_warm_start_recipe(self, env):
+        """The documented far-from-optimum recipe (ILQRConfig.ddp
+        docstring): a few iLQR iterations, then resume with ddp=True —
+        reaches the same optimum as a direct DDP solve."""
+        from tfmpc_tpu.solvers.ilqr_batched import resume, state_from_result
+
+        x0s = jnp.asarray(
+            np.random.default_rng(3).uniform(-8, 8, size=(3, 2)), jnp.float64
+        )
+        warm = ilqr.solve_batch(
+            env, x0s, horizon=25,
+            config=ilqr.ILQRConfig(atol=1e-10, max_iterations=3),
+        )
+        r_resumed = resume(
+            env, state_from_result(warm),
+            config=ilqr.ILQRConfig(atol=1e-8, max_iterations=60, ddp=True),
+        )
+        r_direct = ilqr.solve_batch(env, x0s, horizon=25, config=DDP)
+        assert bool(jnp.all(r_resumed.converged))
+        np.testing.assert_allclose(
+            np.asarray(r_resumed.total_cost), np.asarray(r_direct.total_cost),
+            rtol=1e-7,
+        )
+
     def test_parallel_backward_excluded(self, env):
         cfg = ilqr.ILQRConfig(ddp=True, parallel_backward=True)
         x0 = jnp.zeros(2, jnp.float64)

@@ -421,20 +421,26 @@ def test_time_blocked_costs_match_per_step(rng):
 
 def test_emit_trajectories_auto_resolution():
     """AUTO (None, the default) turns the single-chain emit layout on only
-    at long horizons — the chip A/B measured it losing at T=100 and
-    winning at T=500 (docs/sweeps/r5_emit_traj.md); explicit True/False
-    pins either layout regardless of T."""
+    at long horizons AND small dims — the chip A/B measured it losing at
+    T=100, winning at T=500 with n=5, and the emit kernel's buffered
+    stores scale with A*(n+m) so the crossover was not extrapolated past
+    the measured dim class (docs/sweeps/r5_emit_traj.md); explicit
+    True/False pins either layout regardless of shape."""
     from tfmpc_tpu.solvers.ilqr_batched import (
+        _EMIT_TRAJ_AUTO_MAX_DIM,
         _EMIT_TRAJ_AUTO_MIN_T,
         _resolve_emit_traj,
     )
 
     auto = ilqr.ILQRConfig()
     assert auto.linesearch_emit_trajectories is None
-    assert not _resolve_emit_traj(auto, 100)
-    assert _resolve_emit_traj(auto, 500)
-    assert _resolve_emit_traj(auto, _EMIT_TRAJ_AUTO_MIN_T)
-    assert not _resolve_emit_traj(auto, _EMIT_TRAJ_AUTO_MIN_T - 1)
+    assert not _resolve_emit_traj(auto, 100, 5, 5)
+    assert _resolve_emit_traj(auto, 500, 5, 5)
+    assert _resolve_emit_traj(auto, _EMIT_TRAJ_AUTO_MIN_T, 2, 2)
+    assert not _resolve_emit_traj(auto, _EMIT_TRAJ_AUTO_MIN_T - 1, 2, 2)
+    assert _resolve_emit_traj(auto, 500, _EMIT_TRAJ_AUTO_MAX_DIM, 5)
+    assert not _resolve_emit_traj(auto, 500, _EMIT_TRAJ_AUTO_MAX_DIM + 1, 5)
     on = ilqr.ILQRConfig(linesearch_emit_trajectories=True)
     off = ilqr.ILQRConfig(linesearch_emit_trajectories=False)
-    assert _resolve_emit_traj(on, 4) and not _resolve_emit_traj(off, 500)
+    assert _resolve_emit_traj(on, 4, 48, 48)
+    assert not _resolve_emit_traj(off, 500, 5, 5)

@@ -124,7 +124,11 @@ class ILQRConfig:
     # at T=500 (reservoir boxQP 1.04x, where dropping the second serial
     # 500-step chain outweighs the slower per-step stores). AUTO enables
     # it from T >= _EMIT_TRAJ_AUTO_MIN_T (250, the measured-crossover
-    # midpoint); pass True/False to pin either layout.
+    # midpoint) AND max(n, m) <= _EMIT_TRAJ_AUTO_MAX_DIM (12 — the
+    # crossover was measured in the small-dim class; the emit kernel's
+    # stores and candidate-trajectory HBM footprint scale with A*(n+m),
+    # so it is not extrapolated to mid dims); pass True/False to pin
+    # either layout at any shape.
     linesearch_emit_trajectories: Optional[bool] = None
     # O(log T) associative-scan backward pass (solvers/lqr_parallel.py::
     # ilqr_backward_parallel) — the long-horizon path (reservoir T=500,
@@ -302,7 +306,10 @@ def backward(lin, quad, final, mu, config: ILQRConfig, bounds=None, Ubar=None,
     With ``second`` (a ``SecondOrderModel``, [T]-leading), the full-DDP
     contractions ``v_x . f_xx / f_ux / f_uu`` are added to the Q-blocks —
     both the unregularized ones and the regularized ``Q̃uu``/``Q̃ux`` (Tassa
-    2012 eqs. 5c-5e put the tensor terms in both; mu enters only through V').
+    2012 eqs. 5c-5e put the tensor terms in both). DDP regularization is
+    COMBINED: mu enters through V' (as in the iLQR path) AND directly as
+    ``mu*I_m`` on ``Q̃uu`` — see the in-step comment and ``ILQRConfig.ddp``
+    for why state regularization alone cannot restore PD here.
     """
     n = lin.f_x.shape[-1]
     use_boxqp = config.boxqp and bounds is not None and Ubar is not None

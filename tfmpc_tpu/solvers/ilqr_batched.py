@@ -599,17 +599,29 @@ def _use_pallas_rollout(env: Env, X, config: ILQRConfig) -> bool:
 # crossover (chip A/B, docs/sweeps/r5_emit_traj.md — loses 0.90x at T=100,
 # wins 1.04x at T=500; see the ILQRConfig field docstring).
 _EMIT_TRAJ_AUTO_MIN_T = 250
+# ... and the dimension ceiling for AUTO: the crossover was measured at
+# n=5 (reservoir win) with ties at n=6 (T=100) and n=16 (T=50); the emit
+# kernel's buffered stores scale with A*(n+m) per step, so the crossover
+# moves with dims, and at mid dims + long T the A-times candidate
+# trajectories are also a real HBM footprint (e.g. n=48, B=512, T=500:
+# ~1 GB). AUTO therefore only engages in the small-dim class where it was
+# measured; explicit True still pins the layout at any dims.
+_EMIT_TRAJ_AUTO_MAX_DIM = 12
 
 
-def _resolve_emit_traj(config: ILQRConfig, horizon: int) -> bool:
+def _resolve_emit_traj(config: ILQRConfig, horizon: int, n: int, m: int) -> bool:
     """Resolve the tri-state emit-trajectories flag at trace time.
 
-    ``horizon`` is a static shape, so AUTO costs nothing under jit.
+    ``horizon``/``n``/``m`` are static shapes, so AUTO costs nothing
+    under jit.
     """
     flag = getattr(config, "linesearch_emit_trajectories", None)
     if flag is not None:
         return bool(flag)
-    return horizon >= _EMIT_TRAJ_AUTO_MIN_T
+    return (
+        horizon >= _EMIT_TRAJ_AUTO_MIN_T
+        and max(n, m) <= _EMIT_TRAJ_AUTO_MAX_DIM
+    )
 
 
 def _iteration_batched(env: Env, state: _BatchState, config: ILQRConfig, alphas):
@@ -634,7 +646,9 @@ def _iteration_batched(env: Env, state: _BatchState, config: ILQRConfig, alphas)
         )
 
     use_fused = _use_pallas_rollout(env, state.X, config)
-    emit_traj = use_fused and _resolve_emit_traj(config, state.U.shape[1])
+    emit_traj = use_fused and _resolve_emit_traj(
+        config, state.U.shape[1], env.state_size, env.action_size
+    )
     with jax.named_scope("ilqr.linesearch"):
         if use_fused:
             from tfmpc_tpu.ops.rollout_pallas import (
@@ -893,11 +907,15 @@ def _pad_lanes(env, config: ILQRConfig, B: int) -> int:
     dim_limit = 8 if cpu else 12
     from tfmpc_tpu.ops.riccati_mid_pallas import mid_kernel_supported
 
-    riccati_ok = not getattr(config, "parallel_backward", False) and (
-        (env.state_size <= dim_limit and env.action_size <= dim_limit)
-        or ((not cpu or _force_mid_on_cpu()) and mid_kernel_supported(
-            env.state_size, env.action_size, boxqp=bool(config.boxqp)
-        ))
+    riccati_ok = (
+        not getattr(config, "parallel_backward", False)
+        and not getattr(config, "ddp", False)  # kernels ineligible for DDP
+        and (
+            (env.state_size <= dim_limit and env.action_size <= dim_limit)
+            or ((not cpu or _force_mid_on_cpu()) and mid_kernel_supported(
+                env.state_size, env.action_size, boxqp=bool(config.boxqp)
+            ))
+        )
     )
     rollout_ok = (
         env.lane_functions() is not None and _rollout_dims_supported(env)
