@@ -27,7 +27,15 @@ jax.config.update("jax_enable_x64", True)  # float64 oracles on CPU
 
 # Persistent compilation cache: the suite jit-compiles many (shape, config)
 # variants; caching across runs cuts wall-clock severalfold.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/tfmpc_tpu_jax_cache")
+# TFMPC_TEST_CACHE_DIR overrides the location so a pytest run can proceed
+# while an on-chip sweep holds the shared cache (CLAUDE.md: one jax process
+# per cache).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "TFMPC_TEST_CACHE_DIR", "/root/.cache/tfmpc_tpu_jax_cache"
+    ),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
