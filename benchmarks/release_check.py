@@ -213,6 +213,80 @@ def main():
         bool(jnp.all(okb_s == okb_k)) and devb12 < 1e-3,
     ))
 
+    # round-5 full-DDP lane kernel: on-chip parity vs the scan backward
+    # with the second-order tensors (plain + boxQP variants). Failed-PD
+    # lanes hold garbage on both paths (the restart loop owns them), so
+    # parity is pinned on the ok lanes; the ok MASKS must agree exactly.
+    from tfmpc_tpu.ops.riccati_pallas import (
+        riccati_backward_ddp_boxqp_pallas, riccati_backward_ddp_pallas,
+    )
+    from tfmpc_tpu.solvers.ilqr_batched import _derivatives_batched
+
+    rngd = np.random.default_rng(21)
+    x0d = jnp.asarray(rngd.uniform(-5, 5, size=(128, 2)).astype("f4"))
+    U0d = jnp.asarray((0.3 * rngd.standard_normal((128, 8, 2))).astype("f4"))
+    X0d = jax.jit(jax.vmap(env.rollout))(x0d, U0d)[0]
+    with jax.default_matmul_precision("highest"):
+        lind, quadd, find = jax.jit(
+            lambda X, U: _derivatives_batched(env, X, U)
+        )(X0d, U0d)
+        secd = jax.jit(lambda X, U: jax.vmap(
+            lambda x, u: env.get_second_order_transition(x, u, batch=True)
+        )(X[:, :-1], U))(X0d, U0d)
+        mud = jnp.asarray(rngd.uniform(0, 0.5, size=(128,)).astype("f4"))
+        okd_s, pold_s, _, _ = jax.jit(jax.vmap(
+            lambda l, q, f, mv, s: ilqr.backward(
+                l, q, f, mv, ilqr.ILQRConfig(), second=s
+            )
+        ))(lind, quadd, find, mud, secd)
+    okd_k, pold_k, _, _ = riccati_backward_ddp_pallas(
+        lind, quadd, find, mud, secd
+    )
+    okmask = np.asarray(okd_s)
+    devd = float(jnp.max(jnp.abs(pold_k.K[okmask] - pold_s.K[okmask])))
+    checks.append((
+        f"full-DDP lane kernel matches scan backward on chip "
+        f"(ok masks equal, max K dev {devd:.2e} on {okmask.mean():.0%} ok "
+        f"lanes)",
+        bool(jnp.all(okd_s == okd_k)) and okmask.mean() > 0.5
+        and devd < 1e-3,
+    ))
+
+    envh3 = make_hvac(
+        [[0, 1, 0], [1, 0, 1], [0, 1, 0]], is_out=[1, 0, 1],
+        is_hall=[0, 1, 0],
+    )
+    x0h3 = jnp.asarray(rngd.uniform(8, 18, size=(128, 3)).astype("f4"))
+    U0h3 = envh3.clip(jnp.asarray(
+        rngd.uniform(0, 4, size=(128, 8, 3)).astype("f4")
+    ))
+    X0h3 = jax.jit(jax.vmap(envh3.rollout))(x0h3, U0h3)[0]
+    with jax.default_matmul_precision("highest"):
+        linh, quadh, finh = jax.jit(
+            lambda X, U: _derivatives_batched(envh3, X, U)
+        )(X0h3, U0h3)
+        sech = jax.jit(lambda X, U: jax.vmap(
+            lambda x, u: envh3.get_second_order_transition(x, u, batch=True)
+        )(X[:, :-1], U))(X0h3, U0h3)
+        muh = jnp.asarray(rngd.uniform(0, 0.5, size=(128,)).astype("f4"))
+        cfgh = ilqr.ILQRConfig(boxqp=True, boxqp_iters=4)
+        okh_s, polh_s, _, _ = jax.jit(jax.vmap(
+            lambda l, q, f, mv, u, s: ilqr.backward(
+                l, q, f, mv, cfgh, bounds=envh3.bounds, Ubar=u, second=s
+            )
+        ))(linh, quadh, finh, muh, U0h3, sech)
+    okh_k, polh_k, _, _ = riccati_backward_ddp_boxqp_pallas(
+        linh, quadh, finh, muh, envh3.bounds, U0h3, sech, boxqp_iters=4,
+    )
+    okmh = np.asarray(okh_s)
+    devh = float(jnp.max(jnp.abs(polh_k.K[okmh] - polh_s.K[okmh])))
+    checks.append((
+        f"full-DDP boxQP lane kernel matches scan backward on chip "
+        f"(ok masks equal, max K dev {devh:.2e})",
+        bool(jnp.all(okh_s == okh_k)) and okmh.mean() > 0.5
+        and devh < 1e-3,
+    ))
+
     # mid-dim kernel (12 < n,m <= 48): on-chip parity vs the scan backward
     # across the WHOLE shipped envelope — n = 16/24 (round 2) plus 32/48
     # (round-3 VERDICT missing #4: the 25-48 half of MID_DIM_MAX was only

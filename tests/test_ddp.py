@@ -222,19 +222,25 @@ class TestDDPSolve:
         with pytest.raises(ValueError, match="parallel_backward"):
             ilqr.solve(env, x0, horizon=10, config=cfg)
 
-    def test_kernel_mode_ineligible(self, env):
-        """ddp routes the backward off the fused kernels (they contract
-        first-order tensors only)."""
+    def test_kernel_mode_dispatch(self, env, monkeypatch):
+        """ddp stays on the LANE kernel (which implements the tensor
+        contractions in-kernel since round 5) but is excluded from the mid
+        kernel (which does not)."""
         from tfmpc_tpu.solvers.ilqr_batched import _riccati_kernel_mode
         from tfmpc_tpu.core.types import LinearModel
 
-        B, T, n = 128, 4, 2
-        z = jnp.zeros((B, T, n), jnp.float32)
-        lin = LinearModel(
-            f=z, f_x=jnp.zeros((B, T, n, n), jnp.float32),
-            f_u=jnp.zeros((B, T, n, n), jnp.float32),
-        )
+        def lin_of(n):
+            z = jnp.zeros((128, 4, n), jnp.float32)
+            return LinearModel(
+                f=z, f_x=jnp.zeros((128, 4, n, n), jnp.float32),
+                f_u=jnp.zeros((128, 4, n, n), jnp.float32),
+            )
+
         base = ilqr.ILQRConfig(use_pallas=True)
-        assert _riccati_kernel_mode(lin, base) is not None
         ddp_cfg = ilqr.ILQRConfig(use_pallas=True, ddp=True)
-        assert _riccati_kernel_mode(lin, ddp_cfg) is None
+        assert _riccati_kernel_mode(lin_of(2), base) == "lane"
+        assert _riccati_kernel_mode(lin_of(2), ddp_cfg) == "lane"
+        # mid dims (CPU needs the force env var, same as the mid tests)
+        monkeypatch.setenv("TFMPC_TPU_FORCE_MID_KERNEL", "1")
+        assert _riccati_kernel_mode(lin_of(16), base) == "mid"
+        assert _riccati_kernel_mode(lin_of(16), ddp_cfg) is None

@@ -230,3 +230,139 @@ class TestBoxQPKernelParity:
         assert (
             np.asarray(res_fused.converged) == np.asarray(res_scan.converged)
         ).mean() > 0.95
+
+
+class TestDDPKernelParity:
+    """Full-DDP lane-kernel variants vs the scan backward with `second`.
+
+    The DDP backward used to fall to the vmapped scan — a measured 39x
+    cliff at nav shapes on chip (benchmarks/ddp_probe.py, round 5); these
+    pin that the in-kernel v-contraction of the dynamics Hessians matches
+    `ilqr.backward(..., second=...)` op-for-op, including the combined
+    mu*I_m regularization.
+    """
+
+    def _second(self, env, B, T, seed=0, scale=0.3):
+        rng = np.random.default_rng(seed)
+        n, m = env.state_size, env.action_size
+        x0 = jnp.asarray(rng.uniform(-5, 5, size=(B, n)).astype("float32"))
+        U0 = jnp.asarray((rng.normal(size=(B, T, m)) * scale).astype("float32"))
+        X0 = jax.vmap(lambda x, u: env.rollout(x, u)[0])(x0, U0)
+        lin, quad, fin = _derivatives_batched(env, X0, U0)
+        sec = jax.vmap(
+            lambda x, u: env.get_second_order_transition(x, u, batch=True)
+        )(X0[:, :-1], U0)
+        return lin, quad, fin, sec, U0
+
+    def test_matches_scan_ddp_backward(self, env):
+        from tfmpc_tpu.ops.riccati_pallas import riccati_backward_ddp_pallas
+
+        B, T = 128, 8
+        lin, quad, fin, sec, _ = self._second(env, B, T)
+        mu = jnp.asarray(
+            np.random.default_rng(2).uniform(0, 0.5, size=(B,)).astype("f4")
+        )
+        ok_r, pol_r, dv1_r, dv2_r = jax.vmap(
+            lambda l, q, f, m, s: ilqr.backward(l, q, f, m, CONFIG, second=s)
+        )(lin, quad, fin, mu, sec)
+        ok_p, pol_p, dv1_p, dv2_p = riccati_backward_ddp_pallas(
+            lin, quad, fin, mu, sec
+        )
+        assert bool(jnp.all(ok_r == ok_p))
+        # DDP legitimately fails PD on a fraction of random test lanes
+        # (~15% here — the restart loop owns those in production); failed
+        # lanes hold NaN/clamped garbage on BOTH paths, so parity is
+        # pinned on the ok lanes only.
+        okm = np.asarray(ok_r)
+        assert okm.mean() > 0.5  # the comparison must not be vacuous
+        np.testing.assert_allclose(
+            pol_p.K[okm], pol_r.K[okm], rtol=1e-3, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            pol_p.k[okm], pol_r.k[okm], rtol=1e-3, atol=1e-3
+        )
+        np.testing.assert_allclose(dv1_p[okm], dv1_r[okm], rtol=1e-3, atol=1e-2)
+        np.testing.assert_allclose(dv2_p[okm], dv2_r[okm], rtol=1e-3, atol=1e-2)
+
+    def test_ddp_terms_actually_enter(self, env):
+        """The ddp kernel must differ from the plain kernel on a nonlinear
+        env (guards against the contraction being silently dropped)."""
+        from tfmpc_tpu.ops.riccati_pallas import riccati_backward_ddp_pallas
+
+        B, T = 128, 6
+        lin, quad, fin, sec, _ = self._second(env, B, T, seed=3)
+        mu = jnp.full((B,), 0.1, jnp.float32)
+        ok_d, pol_d, _, _ = riccati_backward_ddp_pallas(lin, quad, fin, mu, sec)
+        ok_p, pol_p, _, _ = riccati_backward_pallas(lin, quad, fin, mu)
+        okm = np.asarray(ok_d & ok_p)
+        assert okm.mean() > 0.5
+        assert float(jnp.max(jnp.abs(pol_d.K[okm] - pol_p.K[okm]))) > 1e-5
+
+    def test_matches_scan_ddp_boxqp_backward(self):
+        from tfmpc_tpu.models.hvac import make_hvac
+        from tfmpc_tpu.ops.riccati_pallas import (
+            riccati_backward_ddp_boxqp_pallas,
+        )
+
+        env = make_hvac(
+            [[0, 1, 0], [1, 0, 1], [0, 1, 0]],
+            is_out=[1, 0, 1], is_hall=[0, 1, 0],
+        )
+        B, T = 128, 6
+        rng = np.random.default_rng(7)
+        n, m = env.state_size, env.action_size
+        x0 = jnp.asarray(rng.uniform(8, 18, size=(B, n)).astype("f4"))
+        U0 = env.clip(
+            jnp.asarray(rng.uniform(0.0, 4.0, size=(B, T, m)).astype("f4"))
+        )
+        X0 = jax.vmap(lambda x, u: env.rollout(x, u)[0])(x0, U0)
+        lin, quad, fin = _derivatives_batched(env, X0, U0)
+        sec = jax.vmap(
+            lambda x, u: env.get_second_order_transition(x, u, batch=True)
+        )(X0[:, :-1], U0)
+        mu = jnp.asarray(rng.uniform(0, 0.5, size=(B,)).astype("f4"))
+        cfg = ilqr.ILQRConfig(boxqp=True, boxqp_iters=4)
+        ok_r, pol_r, dv1_r, dv2_r = jax.vmap(
+            lambda l, q, f, mv, u, s: ilqr.backward(
+                l, q, f, mv, cfg, bounds=env.bounds, Ubar=u, second=s
+            )
+        )(lin, quad, fin, mu, U0, sec)
+        ok_p, pol_p, dv1_p, dv2_p = riccati_backward_ddp_boxqp_pallas(
+            lin, quad, fin, mu, env.bounds, U0, sec, boxqp_iters=4,
+        )
+        assert bool(jnp.all(ok_r == ok_p))
+        okm = np.asarray(ok_r)
+        assert okm.mean() > 0.5
+        # k atol matches the non-ddp boxQP parity caveat: fp32 tie-breaking
+        # in the projected line search can flip one marginal (lane, t)
+        # candidate (observed 1/2304 at 8.4e-3 here)
+        np.testing.assert_allclose(
+            pol_p.k[okm], pol_r.k[okm], rtol=1e-3, atol=1e-2
+        )
+        np.testing.assert_allclose(
+            pol_p.K[okm], pol_r.K[okm], rtol=1e-3, atol=1e-3
+        )
+        np.testing.assert_allclose(dv1_p[okm], dv1_r[okm], rtol=1e-2, atol=1e-2)
+        np.testing.assert_allclose(dv2_p[okm], dv2_r[okm], rtol=1e-2, atol=1e-2)
+
+    def test_end_to_end_fused_ddp_solve(self, env):
+        """solve_batch(ddp + use_pallas) routes the backward through the
+        ddp lane kernel and must match the XLA ddp solve."""
+        rng = np.random.default_rng(9)
+        x0 = jnp.asarray(rng.uniform(-5, 5, size=(128, 2)).astype("f4"))
+        base = dict(atol=1e-4, max_iterations=15, ddp=True)
+        res_scan = ilqr.solve_batch(
+            env, x0, horizon=6, config=ilqr.ILQRConfig(**base)
+        )
+        res_fused = ilqr.solve_batch(
+            env, x0, horizon=6,
+            config=ilqr.ILQRConfig(**base, use_pallas=True),
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_fused.total_cost),
+            np.asarray(res_scan.total_cost),
+            rtol=1e-3,
+        )
+        assert (
+            np.asarray(res_fused.converged) == np.asarray(res_scan.converged)
+        ).mean() > 0.95

@@ -156,13 +156,17 @@ def _boxqp_lane(H, q, lo, hi, m, newton_iters, ls_alphas, grad_tol=1e-8):
 
 
 def _kernel(T: int, n: int, m: int, boxqp_iters: int = 0, ls_alphas: int = 8,
-            TB: int = 1):
+            TB: int = 1, ddp: bool = False):
     """Kernel body builder; ``boxqp_iters > 0`` selects the control-limited
-    variant (three extra inputs: ubar, lo, hi). ``TB`` timesteps are
-    processed per grid step (reverse time inside the block); the value
-    function stays in registers across the block and ALL output stores are
-    issued after the sequential chain, which is what keeps time-blocking a
-    win (interleaved per-step stores measured a large regression)."""
+    variant (three extra inputs: ubar, lo, hi); ``ddp`` adds the full-DDP
+    dynamics-Hessian inputs (fxx, fux, fuu) and their v-contractions (the
+    round-5 superset: without this the DDP backward fell to the vmapped
+    scan, a measured 39x cliff at nav shapes — ddp_probe.py). ``TB``
+    timesteps are processed per grid step (reverse time inside the block);
+    the value function stays in registers across the block and ALL output
+    stores are issued after the sequential chain, which is what keeps
+    time-blocking a win (interleaved per-step stores measured a large
+    regression)."""
     use_boxqp = boxqp_iters > 0
 
     def kernel(*refs):
@@ -171,6 +175,9 @@ def _kernel(T: int, n: int, m: int, boxqp_iters: int = 0, ls_alphas: int = 8,
         idx = 8
         if use_boxqp:
             ubar_ref, lo_ref, hi_ref = refs[idx:idx + 3]
+            idx += 3
+        if ddp:
+            fxx_ref, fux_ref, fuu_ref = refs[idx:idx + 3]
             idx += 3
         VT_ref, vT_ref = refs[idx:idx + 2]
         K_ref, k_ref, dV1_ref, dV2_ref, fail_ref = refs[idx + 2:idx + 7]
@@ -213,9 +220,21 @@ def _kernel(T: int, n: int, m: int, boxqp_iters: int = 0, ls_alphas: int = 8,
             else:
                 qp_bounds = None
 
+            if ddp:
+                sec = (
+                    [[[fxx_ref[tl, (p * n + i) * n + j, :] for j in range(n)]
+                      for i in range(n)] for p in range(n)],
+                    [[[fux_ref[tl, (p * m + a) * n + i, :] for i in range(n)]
+                      for a in range(m)] for p in range(n)],
+                    [[[fuu_ref[tl, (p * m + a) * m + b, :] for b in range(m)]
+                      for a in range(m)] for p in range(n)],
+                )
+            else:
+                sec = None
+
             K, kvec, V, v, dV1, dV2, fail = _riccati_step_math(
                 n, m, fx, fu, lx, lu, lxx, luu, lux, mu, qp_bounds,
-                boxqp_iters, ls_alphas, V, v, dV1, dV2, fail,
+                boxqp_iters, ls_alphas, V, v, dV1, dV2, fail, sec=sec,
             )
             bufK[tl], bufk[tl] = K, kvec
 
@@ -239,7 +258,8 @@ def _kernel(T: int, n: int, m: int, boxqp_iters: int = 0, ls_alphas: int = 8,
 
 
 def _riccati_step_math(n, m, fx, fu, lx, lu, lxx, luu, lux, mu, qp_bounds,
-                       boxqp_iters, ls_alphas, V, v, dV1, dV2, fail):
+                       boxqp_iters, ls_alphas, V, v, dV1, dV2, fail,
+                       sec=None):
     """One Riccati timestep on per-lane entry lists — pure function of the
     incoming value function ``(V, v)`` and accumulators, returning
     ``(K, k, V_next, v_next, dV1, dV2, fail)`` (shared by both constraint
@@ -247,6 +267,11 @@ def _riccati_step_math(n, m, fx, fu, lx, lu, lxx, luu, lux, mu, qp_bounds,
 
     ``qp_bounds``: None for the unconstrained variant, else ``(lo, hi)``
     m-lists of per-lane bounds already shifted by ubar (delta coordinates).
+    ``sec``: None for iLQR, else ``(fxx, fux, fuu)`` nested per-lane entry
+    lists (leading index = transition OUTPUT component p) — the full-DDP
+    tensor terms, matching ``ilqr.backward``'s ddp branch op-for-op
+    including the COMBINED regularization (mu*I_m added to the regularized
+    Quu on top of Tassa's V'+muI; see ILQRConfig.ddp for why).
     """
     use_boxqp = qp_bounds is not None
 
@@ -277,6 +302,27 @@ def _riccati_step_math(n, m, fx, fu, lx, lu, lxx, luu, lux, mu, qp_bounds,
              for b in range(m)] for a in range(m)]
     QuxR = [[lux[a][i] + sum(fu[p][a] * WRx[p][i] for p in range(n))
              for i in range(n)] for a in range(m)]
+
+    if sec is not None:
+        fxx2, fux2, fuu2 = sec
+        t_xx = [[sum(v[p] * fxx2[p][i][j] for p in range(n))
+                 for j in range(n)] for i in range(n)]
+        t_ux = [[sum(v[p] * fux2[p][a][i] for p in range(n))
+                 for i in range(n)] for a in range(m)]
+        t_uu = [[sum(v[p] * fuu2[p][a][b] for p in range(n))
+                 for b in range(m)] for a in range(m)]
+        Qxx = [[Qxx[i][j] + t_xx[i][j] for j in range(n)] for i in range(n)]
+        Quu = [[Quu[a][b] + t_uu[a][b] for b in range(m)] for a in range(m)]
+        Qux = [[Qux[a][i] + t_ux[a][i] for i in range(n)] for a in range(m)]
+        QuuR = [
+            [
+                QuuR[a][b] + t_uu[a][b] + (mu if a == b else 0.0)
+                for b in range(m)
+            ]
+            for a in range(m)
+        ]
+        QuxR = [[QuxR[a][i] + t_ux[a][i] for i in range(n)]
+                for a in range(m)]
 
     # Unrolled Cholesky of QuuR with per-lane PD probe (both variants —
     # the scan path probes Quu_reg before boxQP too).
@@ -339,14 +385,18 @@ def _riccati_step_math(n, m, fx, fu, lx, lu, lxx, luu, lux, mu, qp_bounds,
     jax.jit, static_argnames=("interpret", "boxqp_iters", "ls_alphas")
 )
 def _riccati_pallas_raw(fx, fu, lx, lu, lxx, luu, lux, mu, VT, vT,
-                        ubar=None, lo=None, hi=None, *,
+                        ubar=None, lo=None, hi=None,
+                        fxx=None, fux=None, fuu=None, *,
                         interpret: bool, boxqp_iters: int = 0,
                         ls_alphas: int = 8):
     """Inputs in kernel layout [T, entries, B]; returns (K, k, dV1, dV2, fail).
 
     ``boxqp_iters > 0`` selects the control-limited variant and requires
-    ``ubar [T, m, B]`` and bounds ``lo/hi [m, 1]``.
+    ``ubar [T, m, B]`` and bounds ``lo/hi [m, 1]``. Passing
+    ``fxx [T, n*n*n, B] / fux [T, n*m*n, B] / fuu [T, n*m*m, B]`` selects
+    the full-DDP variant (entry index: output component p major).
     """
+    ddp = fxx is not None
     T, nn, B = fx.shape
     n = int(round(nn ** 0.5))
     m = fu.shape[1] // n
@@ -356,6 +406,12 @@ def _riccati_pallas_raw(fx, fu, lx, lu, lxx, luu, lux, mu, VT, vT,
     cap = 2048 if d2 <= 64 else (1024 if d2 <= 256 else 512)
     if boxqp_iters > 0:
         cap = min(cap, 1024 if d2 <= 64 else 512)
+    if ddp:
+        # The Hessian blocks add ~n*(n^2+mn+m^2) entries/step to the
+        # working set (n=12: 5184 vs the first-order ~700) — cap by the
+        # third-order volume.
+        d3 = n * (n * n + m * n + m * m)
+        cap = min(cap, 1024 if d3 <= 256 else (256 if d3 <= 2048 else 128))
     BB = B if B <= cap else cap
     while B % BB:
         BB //= 2
@@ -386,6 +442,9 @@ def _riccati_pallas_raw(fx, fu, lx, lu, lxx, luu, lux, mu, VT, vT,
             pl.BlockSpec((m, 1), lambda bi, t: (0, 0), memory_space=pltpu.VMEM),
         ]
         inputs += [ubar, lo, hi]
+    if ddp:
+        in_specs += [spec(n * n * n), spec(n * m * n), spec(n * m * m)]
+        inputs += [fxx, fux, fuu]
     in_specs += [
         pl.BlockSpec((nn, BB), lambda bi, t: (0, bi), memory_space=pltpu.VMEM),
         pl.BlockSpec((n, BB), lambda bi, t: (0, bi), memory_space=pltpu.VMEM),
@@ -393,7 +452,8 @@ def _riccati_pallas_raw(fx, fu, lx, lu, lxx, luu, lux, mu, VT, vT,
     inputs += [VT, vT]
 
     out = pl.pallas_call(
-        _kernel(T, n, m, boxqp_iters=boxqp_iters, ls_alphas=ls_alphas, TB=TB),
+        _kernel(T, n, m, boxqp_iters=boxqp_iters, ls_alphas=ls_alphas, TB=TB,
+                ddp=ddp),
         grid=(nb, n_tb),
         in_specs=in_specs,
         out_specs=[
@@ -460,6 +520,56 @@ def riccati_backward_pallas(lin, quad, final, mu):
     out = _riccati_pallas_raw(
         a["fx"], a["fu"], a["lx"], a["lu"], a["lxx"], a["luu"], a["lux"],
         a["mu"], a["VT"], a["vT"], interpret=interpret,
+    )
+    return _from_kernel_layout(*out, dims)
+
+
+def _second_to_kernel_layout(second, dims):
+    B, T, n, m = dims
+    to_k = lambda a, e: jnp.transpose(a.reshape(B, T, e), (1, 2, 0))
+    return (
+        to_k(second.f_xx, n * n * n),
+        to_k(second.f_ux, n * m * n),
+        to_k(second.f_uu, n * m * m),
+    )
+
+
+def riccati_backward_ddp_pallas(lin, quad, final, mu, second):
+    """Full-DDP backward (``ILQRConfig.ddp``) in the fused lane kernel.
+
+    Same contract as ``ilqr.backward(..., second=...)`` without bounds:
+    the v-contracted dynamics Hessians enter every Q-block and the
+    regularized Quu additionally gets the combined ``mu*I_m`` term.
+    second: ``SecondOrderModel`` with [B, T] leading axes.
+    """
+    a, dims = _to_kernel_layout(lin, quad, final, mu)
+    fxx, fux, fuu = _second_to_kernel_layout(second, dims)
+    interpret = jax.default_backend() == "cpu"
+    out = _riccati_pallas_raw(
+        a["fx"], a["fu"], a["lx"], a["lu"], a["lxx"], a["luu"], a["lux"],
+        a["mu"], a["VT"], a["vT"], fxx=fxx, fux=fux, fuu=fuu,
+        interpret=interpret,
+    )
+    return _from_kernel_layout(*out, dims)
+
+
+def riccati_backward_ddp_boxqp_pallas(
+    lin, quad, final, mu, bounds, Ubar, second, *, boxqp_iters: int = 8,
+    ls_alphas: int = 8,
+):
+    """Full-DDP + control-limited (boxQP) backward in one fused kernel."""
+    a, dims = _to_kernel_layout(lin, quad, final, mu)
+    B, T, n, m = dims
+    dtype = lin.f_x.dtype
+    ubar = jnp.transpose(Ubar, (1, 2, 0)).astype(dtype)
+    lo = jnp.broadcast_to(bounds.low, (m,)).astype(dtype).reshape(m, 1)
+    hi = jnp.broadcast_to(bounds.high, (m,)).astype(dtype).reshape(m, 1)
+    fxx, fux, fuu = _second_to_kernel_layout(second, dims)
+    interpret = jax.default_backend() == "cpu"
+    out = _riccati_pallas_raw(
+        a["fx"], a["fu"], a["lx"], a["lu"], a["lxx"], a["luu"], a["lux"],
+        a["mu"], a["VT"], a["vT"], ubar, lo, hi, fxx=fxx, fux=fux, fuu=fuu,
+        interpret=interpret, boxqp_iters=boxqp_iters, ls_alphas=ls_alphas,
     )
     return _from_kernel_layout(*out, dims)
 

@@ -97,10 +97,28 @@ def _backward_batched(lin, quad, final, mu, config: ILQRConfig, bounds, Ubar,
     Default path: vmap of the single-scenario scan. Pallas path
     (``config.use_pallas``): the fused time-stepping kernel in
     ops/riccati_pallas.py (unconstrained small-n problems on TPU).
-    With ``second`` (full DDP, config.ddp) the fused kernels are ineligible
-    (_riccati_kernel_mode) and the vmap path threads the tensors through.
+    With ``second`` (full DDP, config.ddp) the LANE kernel carries the
+    tensor contractions in-kernel (ops/riccati_pallas.py ddp variants —
+    the vmapped scan was a measured 39x cliff at nav shapes,
+    benchmarks/ddp_probe.py); the mid kernel does not implement them, so
+    mid dims fall to the vmap path.
     """
     if second is not None:
+        if _riccati_kernel_mode(lin, config) == "lane":
+            if config.boxqp and bounds is not None:
+                from tfmpc_tpu.ops.riccati_pallas import (
+                    riccati_backward_ddp_boxqp_pallas,
+                )
+
+                return riccati_backward_ddp_boxqp_pallas(
+                    lin, quad, final, mu, bounds, Ubar, second,
+                    boxqp_iters=config.boxqp_iters,
+                )
+            from tfmpc_tpu.ops.riccati_pallas import (
+                riccati_backward_ddp_pallas,
+            )
+
+            return riccati_backward_ddp_pallas(lin, quad, final, mu, second)
         return jax.vmap(
             lambda l, q, f, m, u, s: backward(
                 l, q, f, m, config, bounds=bounds, Ubar=u, second=s
@@ -155,8 +173,6 @@ def _riccati_kernel_mode(lin, config: ILQRConfig):
         return None
     if getattr(config, "parallel_backward", False):
         return None  # the associative-scan path owns the backward pass
-    if getattr(config, "ddp", False):
-        return None  # kernels don't implement the DDP tensor contractions
     B = lin.f_x.shape[0]
     n = lin.f_x.shape[-1]
     m = lin.f_u.shape[-1]
@@ -167,7 +183,9 @@ def _riccati_kernel_mode(lin, config: ILQRConfig):
     cpu = jax.default_backend() == "cpu"
     lane_limit = 8 if cpu else 12
     if n <= lane_limit and m <= lane_limit:
-        return "lane"
+        return "lane"  # implements iLQR, boxQP, and the DDP contractions
+    if getattr(config, "ddp", False):
+        return None  # the mid kernel doesn't implement the DDP contractions
     from tfmpc_tpu.ops.riccati_mid_pallas import mid_kernel_supported
 
     boxqp = bool(config.boxqp)
@@ -907,14 +925,15 @@ def _pad_lanes(env, config: ILQRConfig, B: int) -> int:
     dim_limit = 8 if cpu else 12
     from tfmpc_tpu.ops.riccati_mid_pallas import mid_kernel_supported
 
-    riccati_ok = (
-        not getattr(config, "parallel_backward", False)
-        and not getattr(config, "ddp", False)  # kernels ineligible for DDP
-        and (
-            (env.state_size <= dim_limit and env.action_size <= dim_limit)
-            or ((not cpu or _force_mid_on_cpu()) and mid_kernel_supported(
+    lane_ok = env.state_size <= dim_limit and env.action_size <= dim_limit
+    riccati_ok = not getattr(config, "parallel_backward", False) and (
+        lane_ok  # the lane kernel implements iLQR, boxQP, AND ddp
+        or (
+            not getattr(config, "ddp", False)  # mid kernel: no DDP terms
+            and (not cpu or _force_mid_on_cpu())
+            and mid_kernel_supported(
                 env.state_size, env.action_size, boxqp=bool(config.boxqp)
-            ))
+            )
         )
     )
     rollout_ok = (
