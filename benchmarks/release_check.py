@@ -213,6 +213,54 @@ def main():
         bool(jnp.all(okb_s == okb_k)) and devb12 < 1e-3,
     ))
 
+    # round-5 full-DDP lane kernel at its n=m=12 dimension CEILING with
+    # synthetic Hessians (review finding: the d3-based VMEM cap branch —
+    # cap 128 at d3=5184 — was exercised nowhere; the non-DDP lane kernel
+    # has exactly this pin because CPU interpret cannot trace n=12).
+    from tfmpc_tpu.core.types import SecondOrderModel
+
+    rng12d = np.random.default_rng(120)
+    lin12d, quad12d, fin12d, mu12d = _synthetic(
+        rng12d, 128, 6, 12, 12, dtype=jnp.float32
+    )
+    # Hessian scale 0.01: CPU-verified to keep the scan backward PD on all
+    # 128 lanes (0.05 fails EVERY lane — the 12-dim value recursion
+    # amplifies random tensor terms fast); the claim needs ok lanes to
+    # compare on.
+    fxx12 = jnp.asarray(
+        0.01 * rng12d.standard_normal((128, 6, 12, 12, 12)).astype("f4")
+    )
+    fxx12 = 0.5 * (fxx12 + jnp.swapaxes(fxx12, -1, -2))
+    sec12 = SecondOrderModel(
+        f_xx=fxx12,
+        f_ux=jnp.asarray(
+            0.01 * rng12d.standard_normal((128, 6, 12, 12, 12)).astype("f4")
+        ),
+        f_uu=0.5 * (lambda a: a + jnp.swapaxes(a, -1, -2))(jnp.asarray(
+            0.01 * rng12d.standard_normal((128, 6, 12, 12, 12)).astype("f4")
+        )),
+    )
+    with jax.default_matmul_precision("highest"):
+        ok12d_s, pol12d_s, _, _ = jax.jit(jax.vmap(
+            lambda l, q, f, mv, s: ilqr.backward(
+                l, q, f, mv, cfg12, second=s
+            )
+        ))(lin12d, quad12d, fin12d, mu12d, sec12)
+    from tfmpc_tpu.ops.riccati_pallas import riccati_backward_ddp_pallas \
+        as _rbddp
+    ok12d_k, pol12d_k, _, _ = _rbddp(lin12d, quad12d, fin12d, mu12d, sec12)
+    okm12 = np.asarray(ok12d_s)
+    dev12d = (float(jnp.max(jnp.abs(
+        pol12d_k.K[okm12] - pol12d_s.K[okm12])))
+        if okm12.any() else float("inf"))
+    checks.append((
+        f"full-DDP lane kernel at its n=m=12 ceiling matches scan on chip "
+        f"(ok masks equal, max K dev {dev12d:.2e} on {okm12.mean():.0%} ok "
+        f"lanes)",
+        bool(jnp.all(ok12d_s == ok12d_k)) and okm12.mean() > 0.5
+        and dev12d < 1e-3,
+    ))
+
     # round-5 full-DDP lane kernel: on-chip parity vs the scan backward
     # with the second-order tensors (plain + boxQP variants). Failed-PD
     # lanes hold garbage on both paths (the restart loop owns them), so
@@ -243,7 +291,10 @@ def main():
         lind, quadd, find, mud, secd
     )
     okmask = np.asarray(okd_s)
-    devd = float(jnp.max(jnp.abs(pold_k.K[okmask] - pold_s.K[okmask])))
+    # guard the masked reduction: an all-lanes-failed regression must
+    # print FAIL, not crash the gate with a zero-size-reduction error
+    devd = (float(jnp.max(jnp.abs(pold_k.K[okmask] - pold_s.K[okmask])))
+            if okmask.any() else float("inf"))
     checks.append((
         f"full-DDP lane kernel matches scan backward on chip "
         f"(ok masks equal, max K dev {devd:.2e} on {okmask.mean():.0%} ok "
@@ -279,7 +330,8 @@ def main():
         linh, quadh, finh, muh, envh3.bounds, U0h3, sech, boxqp_iters=4,
     )
     okmh = np.asarray(okh_s)
-    devh = float(jnp.max(jnp.abs(polh_k.K[okmh] - polh_s.K[okmh])))
+    devh = (float(jnp.max(jnp.abs(polh_k.K[okmh] - polh_s.K[okmh])))
+            if okmh.any() else float("inf"))
     checks.append((
         f"full-DDP boxQP lane kernel matches scan backward on chip "
         f"(ok masks equal, max K dev {devh:.2e})",

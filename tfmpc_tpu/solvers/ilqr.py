@@ -81,12 +81,14 @@ class ILQRConfig:
     # warm-start with a few iLQR iterations and switch:
     #   r = solve_batch(env, x0, config=ILQRConfig(max_iterations=5))
     #   resume(env, state_from_result(r), config=ILQRConfig(ddp=True))
-    # Composes with ``boxqp``. Exclusions, enforced at trace
-    # time (``backward`` raises): ``parallel_backward`` (the associative-scan
-    # value recursion composes LINEAR elements; tensor contractions through
-    # v_x break the monoid) and the fused Riccati kernels (the backward
-    # falls back to the XLA scan — the rollout/line-search kernels still
-    # run, so ``use_pallas`` remains worthwhile).
+    # Composes with ``boxqp``. With ``use_pallas``, the fused LANE Riccati
+    # kernel carries the tensor contractions in-kernel at n,m <= 12
+    # (ops/riccati_pallas.py ddp variants — the scan-path DDP backward is
+    # a measured 39x cliff); mid dims (12 < n,m <= 48) fall back to the
+    # vmapped scan (the mid kernel does not implement the contractions).
+    # Exclusion, enforced at trace time (``backward`` raises):
+    # ``parallel_backward`` (the associative-scan value recursion composes
+    # LINEAR elements; tensor contractions through v_x break the monoid).
     ddp: bool = False
     # Route the batched backward pass through the fused Pallas time-stepping
     # kernel (ops/riccati_pallas.py) where eligible (TPU, small n/m,

@@ -101,56 +101,44 @@ def _backward_batched(lin, quad, final, mu, config: ILQRConfig, bounds, Ubar,
     tensor contractions in-kernel (ops/riccati_pallas.py ddp variants —
     the vmapped scan was a measured 39x cliff at nav shapes,
     benchmarks/ddp_probe.py); the mid kernel does not implement them, so
-    mid dims fall to the vmap path.
+    mid dims fall to the vmap path (``_riccati_kernel_mode`` never
+    returns "mid" when config.ddp is set).
     """
-    if second is not None:
-        if _riccati_kernel_mode(lin, config) == "lane":
-            if config.boxqp and bounds is not None:
-                from tfmpc_tpu.ops.riccati_pallas import (
-                    riccati_backward_ddp_boxqp_pallas,
-                )
+    mode = _riccati_kernel_mode(lin, config)
+    use_boxqp = config.boxqp and bounds is not None
+    if mode == "lane":
+        from tfmpc_tpu.ops import riccati_pallas as rp
 
-                return riccati_backward_ddp_boxqp_pallas(
+        if second is not None:
+            if use_boxqp:
+                return rp.riccati_backward_ddp_boxqp_pallas(
                     lin, quad, final, mu, bounds, Ubar, second,
                     boxqp_iters=config.boxqp_iters,
                 )
-            from tfmpc_tpu.ops.riccati_pallas import (
-                riccati_backward_ddp_pallas,
+            return rp.riccati_backward_ddp_pallas(
+                lin, quad, final, mu, second
             )
+        if use_boxqp:
+            return rp.riccati_backward_boxqp_pallas(
+                lin, quad, final, mu, bounds, Ubar,
+                boxqp_iters=config.boxqp_iters,
+            )
+        return rp.riccati_backward_pallas(lin, quad, final, mu)
+    if mode == "mid":
+        from tfmpc_tpu.ops import riccati_mid_pallas as rmp
 
-            return riccati_backward_ddp_pallas(lin, quad, final, mu, second)
+        if use_boxqp:
+            return rmp.riccati_backward_mid_boxqp(
+                lin, quad, final, mu, bounds, Ubar,
+                boxqp_iters=config.boxqp_iters,
+            )
+        return rmp.riccati_backward_mid(lin, quad, final, mu)
+    if second is not None:
         return jax.vmap(
             lambda l, q, f, m, u, s: backward(
                 l, q, f, m, config, bounds=bounds, Ubar=u, second=s
             )
         )(lin, quad, final, mu, Ubar, second)
-    mode = _riccati_kernel_mode(lin, config)
-    if mode == "lane":
-        if config.boxqp and bounds is not None:
-            from tfmpc_tpu.ops.riccati_pallas import (
-                riccati_backward_boxqp_pallas,
-            )
-
-            return riccati_backward_boxqp_pallas(
-                lin, quad, final, mu, bounds, Ubar,
-                boxqp_iters=config.boxqp_iters,
-            )
-        from tfmpc_tpu.ops.riccati_pallas import riccati_backward_pallas
-
-        return riccati_backward_pallas(lin, quad, final, mu)
-    if mode == "mid":
-        if config.boxqp and bounds is not None:
-            from tfmpc_tpu.ops.riccati_mid_pallas import (
-                riccati_backward_mid_boxqp,
-            )
-
-            return riccati_backward_mid_boxqp(
-                lin, quad, final, mu, bounds, Ubar,
-                boxqp_iters=config.boxqp_iters,
-            )
-        from tfmpc_tpu.ops.riccati_mid_pallas import riccati_backward_mid
-
-        return riccati_backward_mid(lin, quad, final, mu)
     return jax.vmap(
         lambda l, q, f, m, u: backward(l, q, f, m, config, bounds=bounds, Ubar=u)
     )(lin, quad, final, mu, Ubar)
