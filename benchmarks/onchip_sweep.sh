@@ -60,7 +60,7 @@ run() {
     fi
 }
 
-# 1. Release gate: all 30 headline claims, incl. mid-dim parity across the
+# 1. Release gate: all 33 headline claims, incl. mid-dim parity across the
 #    whole envelope (16/24/32/48), two >=10x speedups, the rollout-kernel
 #    VMEM-envelope reproducers, the T=500 fp64-oracle claims, the round-5
 #    full-DDP oracle claims, and the emit-traj AUTO==two-kernel pin (the
