@@ -220,6 +220,35 @@ def config4b_reservoir_t100(quick: bool):
             {"frac_converged": float(jnp.mean(res.converged.astype("f4")))})
 
 
+def config4c_reservoir_ddp(quick: bool):
+    """Full-DDP on the same reservoir T=100 problem (round-5 superset):
+    the second-order terms cut outer iterations ~3x on this env (2.96 vs
+    8.54 measured, benchmarks/ddp_ab.py) and with the DDP lane kernel
+    that converts to a net end-to-end WIN over config 4b's iLQR — the
+    ladder row makes the superset's value visible and regenerable."""
+    from tfmpc_tpu.models.reservoir import make_reservoir
+    from tfmpc_tpu.solvers import ilqr
+
+    env = make_reservoir(5)
+    B = 256 if quick else 2048
+    x0 = jnp.asarray(
+        np.random.default_rng(0).uniform(20, 95, size=(B, 5)).astype("f4")
+    )
+    cfg = ilqr.ILQRConfig(
+        atol=1e-3, max_iterations=30, boxqp=True, use_pallas=True, ddp=True
+    )
+    make = lambda eps: jnp.sum(
+        ilqr.solve_batch(env, x0 + eps, horizon=100, config=cfg).total_cost
+    )
+    solves = _throughput(make, B, 1.0 if quick else 3.0, reps_in_jit=4)
+    res = ilqr.solve_batch(env, x0, horizon=100, config=cfg)
+    _report("4c", f"full-DDP reservoir-5 boxQP T=100 B={B}", solves,
+            "solves/s",
+            {"frac_converged": float(jnp.mean(res.converged.astype("f4"))),
+             "mean_iterations": round(
+                 float(jnp.mean(res.iterations.astype("f4"))), 2)})
+
+
 def config4_reservoir_t500(quick: bool):
     from tfmpc_tpu.models.reservoir import make_reservoir
     from tfmpc_tpu.solvers import ilqr
@@ -295,7 +324,8 @@ def main():
     args = ap.parse_args()
     for fn in (config1_lqr_linear_nav, config2_nav_ilqr, config3_hvac,
                config3b_hvac16_middim, config3c_hvac12,
-               config4b_reservoir_t100, config4_reservoir_t500,
+               config4b_reservoir_t100, config4c_reservoir_ddp,
+               config4_reservoir_t500,
                config5_sharded):
         fn(args.quick)
 

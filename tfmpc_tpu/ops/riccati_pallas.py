@@ -407,11 +407,19 @@ def _riccati_pallas_raw(fx, fu, lx, lu, lxx, luu, lux, mu, VT, vT,
     if boxqp_iters > 0:
         cap = min(cap, 1024 if d2 <= 64 else 512)
     if ddp:
-        # The Hessian blocks add ~n*(n^2+mn+m^2) entries/step to the
-        # working set (n=12: 5184 vs the first-order ~700) — cap by the
-        # third-order volume.
+        # The Hessian blocks add d3 = n*(n^2+mn+m^2) entries/step to the
+        # working set (n=12: 5184 vs the first-order ~700). Cap by the
+        # estimated block BYTES (~(d3+first-order) x BB x 4 x double-buffer
+        # <= ~8 MB of the 16 MB scoped stack) — the original volume-bucket
+        # rule capped n=5 (d3=375) at BB=256, which quartered the grid-
+        # block width for a 3 MB working set and cost the reservoir DDP
+        # ladder row ~2x on chip.
         d3 = n * (n * n + m * n + m * m)
-        cap = min(cap, 1024 if d3 <= 256 else (256 if d3 <= 2048 else 128))
+        per_lane_bytes = (d3 + 4 * d2) * 4 * 2
+        for bb_cap in (1024, 512, 256, 128):
+            if per_lane_bytes * bb_cap <= 8 * 1024 * 1024:
+                break
+        cap = min(cap, bb_cap)
     BB = B if B <= cap else cap
     while B % BB:
         BB //= 2
